@@ -1,0 +1,114 @@
+"""Per-document extraction orchestration.
+
+Mirrors UReadability.extractWithRules (reference extractor/readability.go:108-163)
+with the network layer replaced by the table scan: `text` is the already-fetched,
+already-decoded HTML body and `url` the final URL (extractor/retriever.go:26-30).
+Stage order is preserved exactly: charset report → getContent (custom rule with
+general-parser fallback, readability.go:199-207) → title (raw-body parse,
+readability.go:140) → domain → getText → normalizeLinks → getSnippet → pics.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+from urllib.parse import urlsplit
+
+from ..htmldom import find_all, inner_html, parse
+from .links import normalize_links
+from .pics import extract_pics
+from .readability import Document
+from .sanitize_text import (
+    detect_type_charset,
+    first_title_text,
+    get_snippet,
+    get_text,
+)
+
+DEFAULT_SNIPPET_SIZE = 300  # reference main.go:83
+
+
+class ExtractError(Exception):
+    pass
+
+
+def _general_parser(body: str):
+    doc = Document(body)
+    return doc.content_with_html()
+
+
+def _custom_parser(raw_doc, rule_selector: str):
+    """customParser (readability.go:180-197): CSS selector, concat inner HTML."""
+    res = []
+    try:
+        matches = find_all(raw_doc, rule_selector)
+    except Exception:
+        matches = []
+    for nd in matches:
+        res.append(inner_html(nd))
+    joined = "".join(res)
+    if joined == "":
+        raise ExtractError("nothing extracted")
+    # custom path applies getText with empty title here AND again in the
+    # orchestrator — double application is load-bearing (SURVEY §7)
+    return get_text(joined, ""), joined
+
+
+def get_content(body: str, rule_selector: Optional[str], raw_doc=None):
+    """getContent (readability.go:168-208): custom rule first, fallback general."""
+    if rule_selector:
+        if raw_doc is None:
+            raw_doc = parse(body)
+        try:
+            return _custom_parser(raw_doc, rule_selector)
+        except ExtractError:
+            pass
+    return _general_parser(body)
+
+
+def extract_document(
+    text: str,
+    url: str,
+    rule_selector: Optional[str] = None,
+    snippet_size: int = DEFAULT_SNIPPET_SIZE,
+    header_content_type: Optional[str] = None,
+) -> dict:
+    """Full per-document pipeline → Response dict (extractor/readability.go:73-85)."""
+    body = text if text is not None else ""
+    url = url or ""
+
+    # one raw-body parse shared by the charset report, title extraction, and the
+    # custom-rule parser (all read-only; the reference parses the same string
+    # three times — extractor/text.go:78, readability.go:135, readability.go:182)
+    raw_doc = parse(body)
+
+    content_type, charset = detect_type_charset(raw_doc, header_content_type)
+    content, rich = get_content(body, rule_selector, raw_doc=raw_doc)
+    title = first_title_text(raw_doc)
+
+    try:
+        domain = urlsplit(url).netloc
+    except ValueError:
+        domain = ""
+
+    content = get_text(content, title)
+    rich, all_links = normalize_links(rich, url)
+    excerpt = get_snippet(content, snippet_size)
+
+    article_doc = parse(rich)
+    image, all_images, ok = extract_pics(article_doc)
+    if not ok:
+        image, all_images = "", None
+
+    return {
+        "content": content,
+        "rich_content": rich,
+        "domain": domain,
+        "url": url,
+        "title": title,
+        "excerpt": excerpt,
+        "lead_image_url": image,
+        "images": all_images,
+        "links": all_links if all_links else None,
+        "type": content_type,
+        "charset": charset,
+    }

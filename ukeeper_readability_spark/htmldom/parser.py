@@ -1,0 +1,623 @@
+"""HTML parser: tokenizer + WHATWG-subset tree construction.
+
+The reference parses HTML with golang.org/x/net/html (a full WHATWG HTML5 parser,
+scripting enabled) via goquery. This container has no lxml/html5lib, so we implement
+the subset of the HTML5 tree-construction algorithm that the readability workload
+exercises: html/head/body skeleton synthesis, raw-text elements, void elements,
+implied end tags (p/li/dd/dt/option/heading), empty-<p> synthesis for stray </p>
+(which go-readability's <br><br> → </p><p> rewrite produces,
+vendor/.../go-readability/readability.go:84), table context with implied tbody and
+foster parenting, and attribute merging for duplicate <html>/<body> tags.
+
+Known simplifications vs the full spec (documented divergences): no adoption agency /
+active-formatting-element reconstruction (misnested <b>/<i> across block boundaries),
+no template/frameset modes, no SVG/MathML foreign content. Real-world article HTML —
+including all reference golden fixtures — does not hit these.
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+from .node import (
+    COMMENT_NODE,
+    DOCTYPE_NODE,
+    DOCUMENT_NODE,
+    ELEMENT_NODE,
+    TEXT_NODE,
+    Node,
+)
+
+VOID_ELEMENTS = frozenset(
+    "area base basefont bgsound br col embed frame hr img input keygen link meta param source track wbr".split()
+)
+
+# tokenizer raw-text elements (x/net/html tokenizer rawTag set)
+RAW_TEXT = frozenset("iframe noembed noframes noscript plaintext script style xmp".split())
+RCDATA = frozenset(("title", "textarea"))
+
+HEAD_ELEMENTS = frozenset("title style script noscript meta link base basefont bgsound template".split())
+
+# HTML spec "special" category (subset relevant to scope walks)
+SPECIAL = frozenset(
+    (
+        "address applet area article aside base basefont bgsound blockquote body br button caption center "
+        "col colgroup dd details dir div dl dt embed fieldset figcaption figure footer form frame frameset "
+        "h1 h2 h3 h4 h5 h6 head header hgroup hr html iframe img input keygen li link listing main marquee "
+        "menu meta nav noembed noframes noscript object ol p param plaintext pre script section select "
+        "source style summary table tbody td template textarea tfoot th thead title tr track ul wbr xmp"
+    ).split()
+)
+
+# start tags that close an open <p> in button scope ("in body" insertion mode)
+P_CLOSERS = frozenset(
+    (
+        "address article aside blockquote center details dialog dir div dl fieldset figcaption figure "
+        "footer header hgroup main menu nav ol p section summary ul h1 h2 h3 h4 h5 h6 pre listing form "
+        "li dd dt plaintext table hr xmp"
+    ).split()
+)
+
+HEADINGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
+IMPLIED_END = frozenset("dd dt li optgroup option p rb rp rt rtc".split())
+SCOPE_BOUNDARY = frozenset("applet caption html table td th marquee object template".split())
+TABLE_SECTIONS = frozenset(("tbody", "thead", "tfoot"))
+TABLE_CONTEXT = frozenset(("table", "tbody", "thead", "tfoot", "tr"))
+TABLE_ONLY_TAGS = frozenset("caption col colgroup frame head tbody td tfoot th thead tr".split())
+
+_WS = " \t\n\f"
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+TOK_TEXT = 0
+TOK_START = 1
+TOK_END = 2
+TOK_COMMENT = 3
+TOK_DOCTYPE = 4
+
+_NAME_END = frozenset(" \t\n\f/>")
+_unescape = _htmlmod.unescape
+
+
+def _tokenize(s: str):
+    """Yield (kind, data, attrs, self_closing) tokens."""
+    # input-stream preprocessing: normalize newlines (HTML5 §13.2.3.5)
+    if "\r" in s:
+        s = s.replace("\r\n", "\n").replace("\r", "\n")
+    n = len(s)
+    i = 0
+    while i < n:
+        lt = s.find("<", i)
+        if lt == -1:
+            text = s[i:]
+            if text:
+                yield (TOK_TEXT, _unescape(text) if "&" in text else text, None, False)
+            return
+        if lt > i:
+            text = s[i:lt]
+            yield (TOK_TEXT, _unescape(text) if "&" in text else text, None, False)
+        i = lt
+        if i + 1 >= n:
+            yield (TOK_TEXT, "<", None, False)
+            return
+        c = s[i + 1]
+        if c == "!":
+            if s.startswith("<!--", i):
+                end = s.find("-->", i + 4)
+                if end == -1:
+                    yield (TOK_COMMENT, s[i + 4 :], None, False)
+                    return
+                yield (TOK_COMMENT, s[i + 4 : end], None, False)
+                i = end + 3
+            elif s[i + 2 : i + 9].lower() == "doctype":
+                end = s.find(">", i + 9)
+                if end == -1:
+                    end = n
+                name = s[i + 9 : end].strip().split(" ")[0].lower() if end > i + 9 else ""
+                yield (TOK_DOCTYPE, name, None, False)
+                i = end + 1
+            else:
+                end = s.find(">", i + 2)
+                if end == -1:
+                    end = n
+                yield (TOK_COMMENT, s[i + 2 : end], None, False)
+                i = end + 1
+        elif c == "/":
+            if i + 2 < n and s[i + 2].isalpha():
+                name, _attrs, _sc, i = _scan_tag(s, i + 2, n)
+                yield (TOK_END, name, None, False)
+            else:
+                end = s.find(">", i + 2)
+                if end == -1:
+                    end = n
+                yield (TOK_COMMENT, s[i + 2 : end], None, False)
+                i = end + 1
+        elif c.isalpha():
+            name, attrs, self_closing, i = _scan_tag(s, i + 1, n)
+            yield (TOK_START, name, attrs, self_closing)
+            if not self_closing and (name in RAW_TEXT or name in RCDATA):
+                # raw-text / RCDATA content until matching close tag
+                close = "</" + name
+                j = i
+                low = s.lower()
+                while True:
+                    k = low.find(close, j)
+                    if k == -1:
+                        raw = s[i:]
+                        if raw:
+                            yield (TOK_TEXT, _unescape(raw) if name in RCDATA and "&" in raw else raw, None, False)
+                        return
+                    after = k + len(close)
+                    if after >= n or s[after] in " \t\n\f/>":
+                        break
+                    j = after
+                raw = s[i:k]
+                if raw:
+                    yield (TOK_TEXT, _unescape(raw) if name in RCDATA and "&" in raw else raw, None, False)
+                gt = s.find(">", k)
+                i = n if gt == -1 else gt + 1
+                yield (TOK_END, name, None, False)
+        elif c == "?":
+            end = s.find(">", i + 1)
+            if end == -1:
+                end = n
+            yield (TOK_COMMENT, s[i + 1 : end], None, False)
+            i = end + 1
+        else:
+            # literal '<' as text; emit it and continue after
+            yield (TOK_TEXT, "<", None, False)
+            i += 1
+
+
+def _scan_tag(s: str, i: int, n: int):
+    """Scan a tag starting at the first char of its name. Returns (name, attrs, self_closing, next_i)."""
+    start = i
+    while i < n and s[i] not in _NAME_END:
+        i += 1
+    name = s[start:i].lower()
+    attrs = []
+    seen = set()
+    self_closing = False
+    while i < n:
+        ch = s[i]
+        if ch in _WS:
+            i += 1
+            continue
+        if ch == ">":
+            i += 1
+            break
+        if ch == "/":
+            if i + 1 < n and s[i + 1] == ">":
+                self_closing = True
+                i += 2
+                break
+            i += 1
+            continue
+        # attribute name
+        astart = i
+        while i < n and s[i] not in " \t\n\f=/>":
+            i += 1
+        aname = s[astart:i].lower()
+        while i < n and s[i] in _WS:
+            i += 1
+        val = ""
+        if i < n and s[i] == "=":
+            i += 1
+            while i < n and s[i] in _WS:
+                i += 1
+            if i < n and s[i] in "\"'":
+                q = s[i]
+                i += 1
+                vstart = i
+                while i < n and s[i] != q:
+                    i += 1
+                val = s[vstart:i]
+                i += 1
+            else:
+                vstart = i
+                while i < n and s[i] not in " \t\n\f>":
+                    i += 1
+                val = s[vstart:i]
+        if aname and aname not in seen:
+            seen.add(aname)
+            attrs.append((aname, _unescape(val) if "&" in val else val))
+    return name, attrs, self_closing, i
+
+
+# ---------------------------------------------------------------------------
+# Tree construction
+# ---------------------------------------------------------------------------
+
+
+class _TreeBuilder:
+    __slots__ = ("doc", "html", "head", "body", "stack", "phase")
+
+    # phases
+    INITIAL = 0
+    IN_HEAD = 1
+    AFTER_HEAD = 2
+    IN_BODY = 3
+
+    def __init__(self):
+        self.doc = Node(DOCUMENT_NODE)
+        self.html = None
+        self.head = None
+        self.body = None
+        self.stack = []  # open elements
+        self.phase = self.INITIAL
+
+    # -- skeleton ----------------------------------------------------------
+    def _ensure_html(self, attrs=None):
+        if self.html is None:
+            self.html = Node(ELEMENT_NODE, "html", list(attrs) if attrs else [])
+            self.doc.append_child(self.html)
+
+    def _ensure_head(self):
+        self._ensure_html()
+        if self.head is None:
+            self.head = Node(ELEMENT_NODE, "head", [])
+            self.html.append_child(self.head)
+
+    def _ensure_body(self, attrs=None):
+        self._ensure_head()
+        if self.body is None:
+            self.body = Node(ELEMENT_NODE, "body", list(attrs) if attrs else [])
+            self.html.append_child(self.body)
+            self.stack = [self.body]
+        self.phase = self.IN_BODY
+
+    # -- helpers -------------------------------------------------------------
+    def _current(self) -> Node:
+        return self.stack[-1] if self.stack else self.body
+
+    def _add_text(self, parent: Node, text: str):
+        last = parent.last_child
+        if last is not None and last.type == TEXT_NODE:
+            last.data += text
+        else:
+            parent.append_child(Node(TEXT_NODE, text))
+
+    def _insert_text(self, text: str):
+        cur = self._current()
+        if cur.data in TABLE_CONTEXT and text.strip(" \t\n\f"):
+            # foster parenting for non-whitespace text in table context
+            fparent, before = self._foster_target()
+            if before is not None and before.prev_sibling is not None and before.prev_sibling.type == TEXT_NODE:
+                before.prev_sibling.data += text
+            else:
+                t = Node(TEXT_NODE, text)
+                fparent.insert_before(t, before)
+            return
+        self._add_text(cur, text)
+
+    def _foster_target(self):
+        for idx in range(len(self.stack) - 1, -1, -1):
+            if self.stack[idx].data == "table":
+                table = self.stack[idx]
+                if table.parent is not None:
+                    return table.parent, table
+                return self.stack[idx - 1] if idx > 0 else self.body, None
+        return self._current(), None
+
+    def _in_scope(self, target, extra_boundary=()):
+        """True if an element named in `target` (str or set) is in scope."""
+        names = (target,) if isinstance(target, str) else target
+        for nd in reversed(self.stack):
+            if nd.data in names:
+                return True
+            if nd.data in SCOPE_BOUNDARY or nd.data in extra_boundary:
+                return False
+        return False
+
+    def _generate_implied_end(self, except_tag=None):
+        while self.stack:
+            d = self.stack[-1].data
+            if d in IMPLIED_END and d != except_tag:
+                self.stack.pop()
+            else:
+                return
+
+    def _pop_until(self, names):
+        names = (names,) if isinstance(names, str) else names
+        while self.stack:
+            nd = self.stack.pop()
+            if nd.data in names:
+                return
+
+    def _close_p(self):
+        if self._in_scope("p", extra_boundary=("button",)):
+            self._generate_implied_end("p")
+            self._pop_until("p")
+
+    def _insert_element(self, name, attrs, push=True, foster=False):
+        el = Node(ELEMENT_NODE, name, attrs or [])
+        cur = self._current()
+        if foster and cur.data in TABLE_CONTEXT:
+            fparent, before = self._foster_target()
+            fparent.insert_before(el, before)
+        else:
+            cur.append_child(el)
+        if push:
+            self.stack.append(el)
+        return el
+
+    # -- token dispatch --------------------------------------------------------
+    def process(self, kind, data, attrs, self_closing):
+        if kind == TOK_DOCTYPE:
+            if self.html is None:
+                self.doc.append_child(Node(DOCTYPE_NODE, data))
+            return
+        if kind == TOK_COMMENT:
+            target = self._current() if self.body is not None else (self.html or self.doc)
+            if self.phase == self.IN_HEAD and self.head is not None:
+                target = self.head
+            target.append_child(Node(COMMENT_NODE, data))
+            return
+        if kind == TOK_TEXT:
+            if self.phase == self.IN_BODY:
+                self._insert_text(data)
+                return
+            if self.stack:
+                # inside an open head element (title/script/style/noscript…)
+                self._add_text(self.stack[-1], data)
+                return
+            if not data.strip(" \t\n\f"):
+                if self.phase == self.IN_HEAD and self.head is not None:
+                    self._add_text(self.head, data)
+                # whitespace before head / after head is dropped (spec drops
+                # leading whitespace; trailing-into-body is rare and invisible)
+                return
+            # non-whitespace text forces body
+            stripped = data.lstrip(" \t\n\f") if self.body is None and self.phase != self.IN_BODY else data
+            self._ensure_body()
+            self._insert_text(stripped)
+            return
+        if kind == TOK_START:
+            self._start_tag(data, attrs, self_closing)
+        else:
+            self._end_tag(data)
+
+    # -- start tags --------------------------------------------------------------
+    def _start_tag(self, name, attrs, self_closing):
+        if name == "html":
+            if self.html is None:
+                self._ensure_html(attrs)
+            else:
+                self._merge_attrs(self.html, attrs)
+            return
+        if name == "head":
+            if self.phase == self.INITIAL:
+                self._ensure_head()
+                self.phase = self.IN_HEAD
+            return
+        if name == "body":
+            if self.body is None:
+                self._ensure_body(attrs)
+            else:
+                self._merge_attrs(self.body, attrs)
+                self.phase = self.IN_BODY
+            return
+
+        if self.phase in (self.INITIAL, self.IN_HEAD):
+            if name in HEAD_ELEMENTS:
+                self._ensure_head()
+                self.phase = self.IN_HEAD
+                el = Node(ELEMENT_NODE, name, attrs or [])
+                self.head.append_child(el)
+                if name not in VOID_ELEMENTS and name not in RAW_TEXT and name not in RCDATA and not self_closing:
+                    self.stack.append(el)
+                elif not self_closing and (name in RAW_TEXT or name in RCDATA):
+                    self.stack.append(el)
+                return
+            self._ensure_body()
+        elif self.phase == self.AFTER_HEAD:
+            if name in HEAD_ELEMENTS:
+                # spec: process via "in head" rules (insert into head)
+                el = Node(ELEMENT_NODE, name, attrs or [])
+                self.head.append_child(el)
+                if not self_closing and (name in RAW_TEXT or name in RCDATA):
+                    self.stack.append(el)
+                return
+            self._ensure_body(attrs if name == "body" else None)
+
+        # ---- in body ----
+        if name == "image":
+            name = "img"
+
+        if name in TABLE_ONLY_TAGS:
+            self._table_start(name, attrs)
+            return
+
+        if name in P_CLOSERS:
+            self._close_p()
+
+        if name in HEADINGS:
+            if self.stack and self.stack[-1].data in HEADINGS:
+                self.stack.pop()
+        elif name == "li":
+            self._close_list_item(("li",))
+            self._close_p()
+        elif name in ("dd", "dt"):
+            self._close_list_item(("dd", "dt"))
+            self._close_p()
+        elif name == "a":
+            if self._in_scope("a"):
+                self._pop_until("a")
+        elif name == "option":
+            if self.stack and self.stack[-1].data == "option":
+                self.stack.pop()
+        elif name == "optgroup":
+            while self.stack and self.stack[-1].data in ("option", "optgroup"):
+                self.stack.pop()
+
+        if name in VOID_ELEMENTS:
+            self._insert_element(name, attrs, push=False, foster=True)
+            return
+        if name in RAW_TEXT or name in RCDATA:
+            self._insert_element(name, attrs, push=not self_closing, foster=True)
+            return
+        # NB: per spec the self-closing flag is ignored on normal HTML elements
+        self._insert_element(name, attrs, push=True, foster=True)
+
+    def _close_list_item(self, names):
+        for nd in reversed(list(self.stack)):
+            if nd.data in names:
+                self._generate_implied_end(nd.data)
+                self._pop_until(nd.data)
+                return
+            if nd.data in SPECIAL and nd.data not in ("address", "div", "p"):
+                return
+
+    def _merge_attrs(self, el: Node, attrs):
+        if not attrs:
+            return
+        existing = {k for k, _ in el.attrs}
+        for k, v in attrs:
+            if k not in existing:
+                el.attrs.append((k, v))
+                existing.add(k)
+
+    # -- table-context start tags ---------------------------------------------
+    def _table_nearby(self):
+        for nd in reversed(self.stack):
+            if nd.data == "table":
+                return nd
+        return None
+
+    def _clear_back_to(self, names):
+        while self.stack and self.stack[-1].data not in names and self.stack[-1].data != "html":
+            self.stack.pop()
+
+    def _table_start(self, name, attrs):
+        table = self._table_nearby()
+        if table is None:
+            return  # "in body" rules: ignore stray table-section tags
+        if name in TABLE_SECTIONS or name in ("caption", "colgroup"):
+            self._clear_back_to(("table",))
+            self._insert_element(name, attrs, push=name != "col")
+            return
+        if name == "col":
+            if self.stack[-1].data != "colgroup":
+                self._clear_back_to(("table",))
+                self._insert_element("colgroup", None, push=True)
+            self._insert_element("col", attrs, push=False)
+            return
+        if name == "tr":
+            self._clear_back_to(TABLE_SECTIONS | {"table"})
+            if self.stack[-1].data == "table":
+                self._insert_element("tbody", None, push=True)
+            self._insert_element("tr", attrs, push=True)
+            return
+        if name in ("td", "th"):
+            self._clear_back_to(TABLE_SECTIONS | {"table", "tr"})
+            if self.stack[-1].data == "table":
+                self._insert_element("tbody", None, push=True)
+            if self.stack[-1].data != "tr":
+                self._insert_element("tr", None, push=True)
+            self._insert_element(name, attrs, push=True)
+            return
+
+    # -- end tags ------------------------------------------------------------
+    def _end_tag(self, name):
+        if self.phase == self.IN_HEAD:
+            if name == "head":
+                self.phase = self.AFTER_HEAD
+                self.stack = []
+                return
+            if name in ("body", "html"):
+                self._ensure_body()
+                return
+            if self.stack and self.stack[-1].data == name:
+                self.stack.pop()
+            return
+        if self.phase in (self.INITIAL, self.AFTER_HEAD):
+            if name in ("head", "body", "html", "br"):
+                if name == "br":
+                    self._ensure_body()
+                    self._insert_element("br", None, push=False)
+                return
+            return
+        # in body
+        if name in ("body", "html"):
+            return
+        if name == "br":
+            # spec: </br> acts as <br> start tag
+            self._insert_element("br", None, push=False, foster=True)
+            return
+        if name == "p":
+            if not self._in_scope("p", extra_boundary=("button",)):
+                self._insert_element("p", None, push=False, foster=True)
+                return
+            self._generate_implied_end("p")
+            self._pop_until("p")
+            return
+        if name in HEADINGS:
+            if self._in_scope(HEADINGS):
+                self._generate_implied_end()
+                self._pop_until(HEADINGS)
+            return
+        if name in ("td", "th"):
+            if self._in_scope(name):
+                self._generate_implied_end()
+                self._pop_until(name)
+            return
+        if name == "tr":
+            if self._in_scope("tr"):
+                self._clear_back_to(("tr",))
+                self._pop_until("tr")
+            return
+        if name == "table":
+            if self._in_scope("table"):
+                self._pop_until("table")
+            return
+        if name in TABLE_SECTIONS:
+            if self._in_scope(name):
+                self._clear_back_to((name,))
+                self._pop_until(name)
+            return
+        if name == "li":
+            if self._in_scope("li", extra_boundary=("ol", "ul")):
+                self._generate_implied_end("li")
+                self._pop_until("li")
+            return
+        if name in ("dd", "dt"):
+            if self._in_scope(name):
+                self._generate_implied_end(name)
+                self._pop_until(name)
+            return
+        # any other end tag
+        for idx in range(len(self.stack) - 1, -1, -1):
+            nd = self.stack[idx]
+            if nd.data == name:
+                self._generate_implied_end(name)
+                # pop until nd popped
+                while len(self.stack) > idx:
+                    self.stack.pop()
+                return
+            if nd.data in SPECIAL:
+                return
+
+
+def parse(s: str) -> Node:
+    """Parse an HTML string into a document Node (always has html/head/body)."""
+    tb = _TreeBuilder()
+    for tok in _tokenize(s):
+        if tb.phase == tb.INITIAL and tok[0] == TOK_START and tok[1] not in ("html", "head") and tok[1] not in HEAD_ELEMENTS:
+            # fall through to normal handling (body synthesis happens inside)
+            pass
+        tb.process(*tok)
+    tb._ensure_body()
+    return tb.doc
+
+
+def parse_fragment_has_body(s: str) -> bool:
+    """Whether goquery would see a non-synthesized <body>.
+
+    Not used: goquery's Find("body").Length() counts the auto-created body too, so
+    the reference's no-body fallback (go-readability readability.go:98-101) only
+    triggers on inputs x/net/html cannot derive a body for; with a full document
+    parse a body always exists. Kept for documentation.
+    """
+    return True

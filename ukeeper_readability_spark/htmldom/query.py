@@ -1,0 +1,209 @@
+"""goquery-equivalent traversal helpers and a small CSS selector engine.
+
+Implements the exact subset the reference exercises: Find(selector) in document
+pre-order (goquery/cascadia), Text() (concatenated text-node data, recursing into
+children even of converted text nodes — goquery utilities.go getNodeText),
+Siblings()+Union ordering (siblings in document order, self appended last —
+goquery expand.go / the order getArticle depends on,
+vendor/.../go-readability/readability.go:185).
+
+Selector support: tag, #id, .class, compounds (tag#id.cls), descendant (space),
+child (>), and comma groups — covers per-domain rules like ".content p" and
+"#content p, .post-title" (reference readability_test.go:205,347).
+"""
+
+from __future__ import annotations
+
+from .node import ELEMENT_NODE, TEXT_NODE, Node
+
+# ---------------------------------------------------------------------------
+# CSS selector subset
+# ---------------------------------------------------------------------------
+
+
+class _Simple:
+    __slots__ = ("tag", "id", "classes")
+
+    def __init__(self, tag=None, id_=None, classes=None):
+        self.tag = tag
+        self.id = id_
+        self.classes = classes or []
+
+    def matches(self, n: Node) -> bool:
+        if n.type != ELEMENT_NODE:
+            return False
+        if self.tag is not None and n.data != self.tag:
+            return False
+        if self.id is not None and n.get_attr("id") != self.id:
+            return False
+        if self.classes:
+            cls = n.get_attr("class")
+            if cls is None:
+                return False
+            have = cls.split()
+            for c in self.classes:
+                if c not in have:
+                    return False
+        return True
+
+
+class _Chain:
+    """Compound selector chain: [( combinator, _Simple ), ...] left-to-right.
+
+    combinator: ' ' descendant, '>' child; first entry's combinator is ignored.
+    """
+
+    __slots__ = ("parts",)
+
+    def __init__(self, parts):
+        self.parts = parts
+
+    def matches(self, n: Node) -> bool:
+        idx = len(self.parts) - 1
+        if not self.parts[idx][1].matches(n):
+            return False
+        node = n
+        idx -= 1
+        while idx >= 0:
+            comb = self.parts[idx + 1][0]
+            simple = self.parts[idx][1]
+            if comb == ">":
+                node = node.parent
+                if node is None or not simple.matches(node):
+                    return False
+            else:  # descendant
+                node = node.parent
+                while node is not None and not simple.matches(node):
+                    node = node.parent
+                if node is None:
+                    return False
+            idx -= 1
+        return True
+
+
+def _parse_simple(tok: str) -> _Simple:
+    tag = None
+    id_ = None
+    classes = []
+    i = 0
+    n = len(tok)
+    # leading tag or '*'
+    j = i
+    while j < n and tok[j] not in "#.":
+        j += 1
+    if j > i:
+        t = tok[i:j].lower()
+        if t != "*":
+            tag = t
+    i = j
+    while i < n:
+        marker = tok[i]
+        i += 1
+        j = i
+        while j < n and tok[j] not in "#.":
+            j += 1
+        name = tok[i:j]
+        if marker == "#":
+            id_ = name
+        else:
+            classes.append(name)
+        i = j
+    return _Simple(tag, id_, classes)
+
+
+def compile_selector(sel: str):
+    """Compile a selector group into a list of _Chain."""
+    chains = []
+    for group in sel.split(","):
+        group = group.strip()
+        if not group:
+            continue
+        # normalize child combinator spacing
+        group = group.replace(">", " > ")
+        toks = group.split()
+        parts = []
+        comb = " "
+        for tok in toks:
+            if tok == ">":
+                comb = ">"
+                continue
+            parts.append((comb, _parse_simple(tok)))
+            comb = " "
+        if parts:
+            chains.append(_Chain(parts))
+    return chains
+
+
+def _iter_descendants(root: Node):
+    """Pre-order descendants of root (excluding root)."""
+    out = []
+    node = root.first_child
+    while node is not None and node is not root:
+        out.append(node)
+        if node.first_child is not None:
+            node = node.first_child
+            continue
+        while node is not None and node is not root and node.next_sibling is None:
+            node = node.parent
+        if node is None or node is root:
+            break
+        node = node.next_sibling
+    return out
+
+
+def find_all(root: Node, selector) -> list:
+    """goquery Find(): matching element descendants, document order, snapshot."""
+    chains = compile_selector(selector) if isinstance(selector, str) else selector
+    result = []
+    for n in _iter_descendants(root):
+        if n.type != ELEMENT_NODE:
+            continue
+        for ch in chains:
+            if ch.matches(n):
+                result.append(n)
+                break
+    return result
+
+
+def find_elements(root: Node) -> list:
+    """Find("*"): all element descendants, document order, snapshot."""
+    return [n for n in _iter_descendants(root) if n.type == ELEMENT_NODE]
+
+
+def node_text(n: Node) -> str:
+    """goquery Selection.Text() over a single node.
+
+    Mirrors goquery utilities.go: appends Data for text nodes and recurses into
+    first_child chains even when the node is a text node (relevant after the
+    sanitize walk converts elements to text nodes in place).
+    """
+    buf = []
+
+    def walk(nd: Node):
+        if nd.type == TEXT_NODE:
+            buf.append(nd.data)
+        c = nd.first_child
+        while c is not None:
+            walk(c)
+            c = c.next_sibling
+
+    walk(n)
+    return "".join(buf)
+
+
+def siblings_then_self(n: Node) -> list:
+    """goquery Siblings().Union(self): siblings in document order, then self.
+
+    Union dedups while preserving first-seen order; since Siblings() excludes
+    self, self always lands last (go-readability readability.go:185).
+    """
+    out = []
+    p = n.parent
+    if p is not None:
+        c = p.first_child
+        while c is not None:
+            if c is not n and c.type == ELEMENT_NODE:
+                out.append(c)
+            c = c.next_sibling
+    out.append(n)
+    return out
