@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()    — flagship: boilerplate-stripping extraction over sf0.001 documents.
+queries()  — one entry per implemented operator family (SURVEY.md §2).
+oracle_sql() — DuckDB-equivalent SQL. For the extraction queries the synthetic
+transcripts are built from `documents` by SQL expressions shared verbatim with
+the oracle (ukeeper_readability_spark/data/synth.py), so the *expected* output
+of the full extraction pipeline is itself SQL-expressible and value-hash
+checked — not just rows-only.
 """
 
 from __future__ import annotations
@@ -12,27 +14,264 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ukeeper_readability_spark.data.synth import (
+    BOILERPLATE_WRAP_SQL,
+    PLAIN_WRAP_SQL,
+    RULES_FROM_NATION_SQL,
+    excerpt_sql,
+    transcripts_from_documents_sql,
+)
+from ukeeper_readability_spark.jobs.extract_job import (
+    join_rules,
+    run_extraction,
+    with_host,
+)
+
+SNIPPET = 300
+
+
+def _register(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _transcripts(spark: SparkSession, sf_dir: str, wrap_sql: str) -> DataFrame:
+    _register(spark, sf_dir, "documents")
+    return spark.sql(transcripts_from_documents_sql("documents", wrap_sql))
+
+
+_EXTRACT_OUT = [
+    "conv_id",
+    "turn_idx",
+    "title",
+    "content",
+    "rich_content",
+    "domain",
+    "url",
+    "excerpt",
+    "lead_image_url",
+    "type",
+    "charset",
+]
+
+
+def _q_extract(wrap_sql: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        trans = _transcripts(spark, sf_dir, wrap_sql)
+        joined = join_rules(trans, None)
+        out = run_extraction(joined, snippet_size=SNIPPET)
+        return out.select(*_EXTRACT_OUT)
+
+    return q
+
+
+def _oracle_extract(wrap_sql: str, rich_sql: str) -> str:
+    return f"""
+        WITH t AS ({transcripts_from_documents_sql('documents', wrap_sql)})
+        SELECT conv_id, turn_idx,
+               'Doc ' || doc_id AS title,
+               d.text AS content,
+               {rich_sql} AS rich_content,
+               'src' || substr(d.source, 4) || '.example.com' AS domain,
+               t.tool AS url,
+               {excerpt_sql('d.text', SNIPPET)} AS excerpt,
+               '' AS lead_image_url,
+               'text/html' AS type,
+               'utf-8' AS charset
+        FROM t JOIN documents d USING (doc_id)
+    """
+
+
+_GENERAL_RICH_SQL = "'<div><div><p>' || d.text || '</p></div></div>'"
+
+
+def _q_extract_rule_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register(spark, sf_dir, "documents", "nation")
+    trans = _transcripts(spark, sf_dir, PLAIN_WRAP_SQL)
+    rules = spark.sql(RULES_FROM_NATION_SQL)
+    joined = join_rules(trans, rules)
+    out = run_extraction(joined, snippet_size=SNIPPET)
+    return out.select(
+        "conv_id", "turn_idx", "content", "rich_content", "routed_cloudflare"
+    )
+
+
+_ORACLE_RULE_JOIN = f"""
+    WITH t AS ({transcripts_from_documents_sql('documents', PLAIN_WRAP_SQL)}),
+    r AS ({RULES_FROM_NATION_SQL}),
+    m AS (
+        SELECT t.conv_id, t.turn_idx, d.text,
+               (r.enabled IS NOT NULL AND r.enabled) AS has_rule,
+               COALESCE(r.enabled AND r.use_cloudflare, FALSE) AS routed_cloudflare
+        FROM t
+        JOIN documents d USING (doc_id)
+        LEFT JOIN r ON r.domain = 'src' || substr(d.source, 4) || '.example.com'
+                   AND r.enabled
+    )
+    SELECT conv_id, turn_idx,
+           text AS content,
+           CASE WHEN has_rule THEN text
+                ELSE '<div><div><p>' || text || '</p></div></div>' END AS rich_content,
+           routed_cloudflare
+    FROM m
+"""
+
+
+def _q_host_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trans = _transcripts(spark, sf_dir, PLAIN_WRAP_SQL)
+    return with_host(trans).select("conv_id", "turn_idx", "host")
+
+
+_ORACLE_HOST_PARSE = f"""
+    WITH t AS ({transcripts_from_documents_sql('documents', PLAIN_WRAP_SQL)})
+    SELECT t.conv_id, t.turn_idx,
+           'src' || substr(d.source, 4) || '.example.com' AS host
+    FROM t JOIN documents d USING (doc_id)
+"""
+
+
+def _q_metrics_by_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trans = _transcripts(spark, sf_dir, PLAIN_WRAP_SQL)
+    joined = join_rules(trans, None)
+    out = run_extraction(joined, snippet_size=SNIPPET)
+    return out.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("m_nodes_scored").alias("nodes_scored"),
+        F.sum("m_bytes_stripped").alias("bytes_stripped"),
+        F.sum("m_rule_hit").alias("rule_hits"),
+        F.sum("m_general_parse").alias("general_parses"),
+        F.sum("m_retries_relaxed").alias("retries_relaxed"),
+    )
+
+
+_ORACLE_METRICS_BY_CONV = f"""
+    WITH t AS ({transcripts_from_documents_sql('documents', PLAIN_WRAP_SQL)})
+    SELECT t.conv_id,
+           count(*) AS n_rows,
+           2 * count(*) AS nodes_scored,
+           CAST(sum(strlen(t.text) - strlen(d.text)) AS BIGINT) AS bytes_stripped,
+           CAST(0 AS BIGINT) AS rule_hits,
+           count(*) AS general_parses,
+           CAST(0 AS BIGINT) AS retries_relaxed
+    FROM t JOIN documents d USING (doc_id)
+    GROUP BY t.conv_id
+"""
+
+
+def _q_rules_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enabled-rule first-match dedupe (datastore/rules.go:43,54) over a rules
+    table with duplicate domains (two generations of rules per nation)."""
+    from ukeeper_readability_spark.jobs.extract_job import enabled_rules_first_match
+
+    _register(spark, sf_dir, "nation")
+    rules = spark.sql(_DUP_RULES_SQL)
+    return enabled_rules_first_match(rules).select(
+        "host", "rule_content", "rule_use_cloudflare"
+    )
+
+
+_DUP_RULES_SQL = """
+    SELECT 'a-' || n_nationkey AS id,
+           'src' || n_nationkey || '.example.com' AS domain,
+           '#content p' AS content,
+           (n_nationkey % 2 = 0) AS enabled,
+           FALSE AS use_cloudflare
+    FROM nation
+    UNION ALL
+    SELECT 'b-' || n_nationkey AS id,
+           'src' || n_nationkey || '.example.com' AS domain,
+           '.post-title' AS content,
+           TRUE AS enabled,
+           TRUE AS use_cloudflare
+    FROM nation
+"""
+
+_ORACLE_RULES_FIRST_MATCH = f"""
+    WITH rules AS ({_DUP_RULES_SQL}),
+    ranked AS (
+        SELECT domain AS host, content AS rule_content,
+               use_cloudflare AS rule_use_cloudflare,
+               row_number() OVER (PARTITION BY domain ORDER BY id ASC) AS rn
+        FROM rules WHERE enabled
+    )
+    SELECT host, rule_content, rule_use_cloudflare FROM ranked WHERE rn = 1
+"""
+
+
+def _q_rules_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-by-domain upsert preserving existing ids (datastore/rules.go:67-87)."""
+    from ukeeper_readability_spark.jobs.rules_store import save_rules
+
+    _register(spark, sf_dir, "nation", "region")
+    rules = spark.sql(_BASE_RULES_SQL)
+    updates = spark.sql(_UPDATE_RULES_SQL)
+    return save_rules(rules, updates).select(
+        "id", "domain", "content", "enabled", "use_cloudflare"
+    )
+
+
+_BASE_RULES_SQL = """
+    SELECT 'rule-' || n_nationkey AS id,
+           'site' || n_nationkey || '.example.com' AS domain,
+           '.content p' AS content,
+           TRUE AS enabled,
+           FALSE AS use_cloudflare
+    FROM nation
+"""
+
+_UPDATE_RULES_SQL = """
+    SELECT 'new-' || r_regionkey AS id,
+           'site' || (r_regionkey * 7) || '.example.com' AS domain,
+           '#main article' AS content,
+           TRUE AS enabled,
+           TRUE AS use_cloudflare
+    FROM region
+"""
+
+_ORACLE_RULES_UPSERT = f"""
+    WITH rules AS ({_BASE_RULES_SQL}),
+    updates AS ({_UPDATE_RULES_SQL}),
+    kept AS (
+        SELECT r.* FROM rules r
+        WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.domain = r.domain)
+    ),
+    upserted AS (
+        SELECT COALESCE(r.id, u.id) AS id, u.domain, u.content, u.enabled,
+               u.use_cloudflare
+        FROM updates u LEFT JOIN rules r ON r.domain = u.domain
+    )
+    SELECT * FROM kept UNION ALL SELECT * FROM upserted
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: boilerplate-strip extraction over sf0.001 (driver smoke)."""
+    return _q_extract(BOILERPLATE_WRAP_SQL)(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_general_plain": _q_extract(PLAIN_WRAP_SQL),
+        "extract_general_boilerplate": _q_extract(BOILERPLATE_WRAP_SQL),
+        "extract_rule_join": _q_extract_rule_join,
+        "host_parse": _q_host_parse,
+        "extraction_metrics_by_conv": _q_metrics_by_conv,
+        "rules_first_match": _q_rules_first_match,
+        "rules_upsert_merge": _q_rules_upsert,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_general_plain": _oracle_extract(PLAIN_WRAP_SQL, _GENERAL_RICH_SQL),
+        "extract_general_boilerplate": _oracle_extract(
+            BOILERPLATE_WRAP_SQL, _GENERAL_RICH_SQL
+        ),
+        "extract_rule_join": _ORACLE_RULE_JOIN,
+        "host_parse": _ORACLE_HOST_PARSE,
+        "extraction_metrics_by_conv": _ORACLE_METRICS_BY_CONV,
+        "rules_first_match": _ORACLE_RULES_FIRST_MATCH,
+        "rules_upsert_merge": _ORACLE_RULES_UPSERT,
+    }

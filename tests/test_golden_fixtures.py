@@ -62,9 +62,23 @@ def test_podcast_369_general():
 
 
 def test_apple_maps_custom_rule_lengths():
-    content, rich = get_content(load("poiezdka-s-apple-maps"), "#content p, .post-title")
+    # The reference golden (readability_test.go:375-376). NB: the fixture has no
+    # #content id nor .post-title class, so the reference's own test exercises
+    # the fallback-to-general path — these lengths are GENERAL parser output.
+    content, rich, meta = get_content(load("poiezdka-s-apple-maps"), "#content p, .post-title")
     assert len(content.encode("utf-8")) == 6988
     assert len(rich.encode("utf-8")) == 7169
+    assert meta["rule_hit"] == 0 and meta["general_parse"] == 1
+
+
+def test_apple_maps_rule_actually_matches():
+    # ".content p" (readability_test.go:205) does match (class="content container")
+    content, rich, meta = get_content(load("poiezdka-s-apple-maps"), ".content p")
+    assert meta["rule_hit"] == 1 and meta["general_parse"] == 0
+    assert content and rich
+    # rule path emits concatenated inner HTML of each matched <p>, not the
+    # general parser's <div>-wrapped article
+    assert not rich.startswith("<div>")
 
 
 def test_apple_maps_rule_path_end_to_end():

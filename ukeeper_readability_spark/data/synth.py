@@ -1,0 +1,145 @@
+"""Deterministic synthetic transcripts over the driver's parquet tables.
+
+Two sources:
+1. SQL wrappers that turn `documents.parquet` rows into the transcripts shape
+   (BASELINE.json:input_hint) with the HTML payload built by a SQL expression.
+   The SAME SQL strings run in Spark and in the DuckDB oracle, which makes the
+   full extraction output value-hash-checkable: for these constructions the
+   expected extraction result is itself SQL-expressible (title, content == text,
+   rich_content shape, excerpt formula — see oracle_* builders).
+2. Fixture-based transcripts embedding the reference's golden article HTML
+   (reference extractor/testdata/) with deterministic per-row perturbation and
+   conversation-length skew — used by pytest and bench.py.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+FIXTURES_DIR = os.path.join(os.path.dirname(__file__), "fixtures")
+FIXTURE_NAMES = (
+    "vsiem-mirom-dlia-obshchiei-polzy",
+    "podcast-369",
+    "poiezdka-s-apple-maps",
+)
+
+# guards making the expected extraction output exactly == documents.text:
+# no sentences/commas (reDot / comma scoring), no HTML-special chars (escaping),
+# no runs of whitespace (reSpaces), long enough to dodge the retry loop.
+CLEAN_TEXT_GUARD = (
+    "instr(text, '.') = 0 AND instr(text, ',') = 0 AND instr(text, '&') = 0 "
+    "AND instr(text, '<') = 0 AND instr(text, '>') = 0 AND instr(text, '''') = 0 "
+    "AND instr(text, '\"') = 0 AND instr(text, '  ') = 0 AND instr(text, chr(9)) = 0 "
+    "AND instr(text, chr(10)) = 0 AND n_chars >= 300"
+)
+
+# transcripts-shape projection of documents (identical in Spark SQL and DuckDB)
+CONV_ID_SQL = "'conv-' || (doc_id % 50)"
+TURN_IDX_SQL = "CAST(floor(doc_id / 50.0) AS INT)"
+URL_SQL = "'http://' || source || '.example.com/docs/' || doc_id"
+
+# payload variants
+PLAIN_WRAP_SQL = (
+    "'<html><head><title>Doc ' || doc_id || '</title></head>"
+    "<body><div class=\"content\"><p>' || text || '</p></div></body></html>'"
+)
+
+# boilerplate variant: header/sidebar/footer divs that removeUnlikelyCandidates
+# must strip (class regexes at vendor/.../go-readability/readability.go:22-24)
+BOILERPLATE_WRAP_SQL = (
+    "'<html><head><title>Doc ' || doc_id || '</title><meta charset=\"utf-8\"></head><body>"
+    "<div class=\"header-menu\"><ul><li><a href=\"/home\">Home</a></li>"
+    "<li><a href=\"/about\">About</a></li></ul></div>"
+    "<div id=\"content\" class=\"content\"><p>' || text || '</p></div>"
+    "<div class=\"sidebar\"><p>subscribe to our newsletter for more updates and offers "
+    "every week</p></div>"
+    "<div class=\"footer\">copyright 2026 example inc</div>"
+    "</body></html>'"
+)
+
+# expected excerpt for content == text at the default snippet size
+# (getSnippet semantics, extractor/text.go:43-55: first ≤300 runes, backtrack to
+# last space — it always drops the final partial word — then append " ...")
+def excerpt_sql(content_sql: str, snippet_size: int = 300) -> str:
+    s2 = f"substr({content_sql}, 1, {snippet_size})"
+    return (
+        f"CASE WHEN instr({s2}, ' ') > 0 "
+        f"THEN regexp_replace({s2}, ' [^ ]*$', '') ELSE {s2} END || ' ...'"
+    )
+
+
+def transcripts_from_documents_sql(documents_rel: str, wrap_sql: str) -> str:
+    """SELECT producing transcripts(conv_id, turn_idx, role, text, tool) rows."""
+    return f"""
+        SELECT {CONV_ID_SQL} AS conv_id,
+               {TURN_IDX_SQL} AS turn_idx,
+               'tool' AS role,
+               {wrap_sql} AS text,
+               {URL_SQL} AS tool,
+               doc_id
+        FROM {documents_rel}
+        WHERE {CLEAN_TEXT_GUARD}
+    """
+
+
+# rules dimension derived deterministically from `nation` (driver view in both
+# engines): even-keyed nations get an enabled '#content p' rule whose domain
+# matches half of the document hosts; odd-keyed get a disabled rule (must be
+# ignored, datastore/rules.go:43)
+RULES_FROM_NATION_SQL = """
+    SELECT 'rule-' || n_nationkey AS id,
+           'src' || n_nationkey || '.example.com' AS domain,
+           '.content p' AS content,
+           (n_nationkey % 2 = 0) AS enabled,
+           (n_nationkey % 5 = 0) AS use_cloudflare
+    FROM nation
+"""
+
+
+def load_fixture(name: str) -> str:
+    with open(os.path.join(FIXTURES_DIR, name + ".html"), encoding="utf-8") as fh:
+        return fh.read()
+
+
+def fixture_transcript_rows(n_turns: int = 60, skew_conv_every: int = 0):
+    """Deterministic rows embedding the golden fixtures.
+
+    Row i gets fixture i%3 with a deterministic marker comment appended (stripped
+    by the comment regex, so goldens still hold per turn). When skew_conv_every>0
+    every k-th conversation gets all its rows funneled into one conv_id to
+    exercise salting.
+    """
+    urls = {
+        "vsiem-mirom-dlia-obshchiei-polzy": "http://umputun.com/2015/11/26/vsiem-mirom-dlia-obshchiei-polzy/",
+        "podcast-369": "https://podcast.umputun.com/p/2015/11/22/podcast-369/",
+        "poiezdka-s-apple-maps": "http://umputun.com/2015/09/25/poiezdka-s-apple-maps/",
+    }
+    fixtures = [(n, load_fixture(n), urls[n]) for n in FIXTURE_NAMES]
+    base_ts = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    rows = []
+    for i in range(n_turns):
+        name, html, url = fixtures[i % 3]
+        conv = i // 6
+        if skew_conv_every and conv % skew_conv_every == 0:
+            conv = 0  # funnel into one huge conversation
+        marker = f"<!-- synthetic-marker {i} -->"
+        rows.append(
+            (
+                f"conv-{conv:05d}",
+                i % 6 if not skew_conv_every else i,
+                "tool",
+                html + marker,
+                url,
+                base_ts,
+            )
+        )
+    return rows
+
+
+def fixture_transcripts_df(spark, n_turns: int = 60, skew_conv_every: int = 0):
+    from ..jobs.schemas import TRANSCRIPTS_SCHEMA
+
+    return spark.createDataFrame(
+        fixture_transcript_rows(n_turns, skew_conv_every), TRANSCRIPTS_SCHEMA
+    )

@@ -33,7 +33,8 @@ class ExtractError(Exception):
 
 def _general_parser(body: str):
     doc = Document(body)
-    return doc.content_with_html()
+    content, rich = doc.content_with_html()
+    return content, rich, doc.stats
 
 
 def _custom_parser(raw_doc, rule_selector: str):
@@ -54,15 +55,23 @@ def _custom_parser(raw_doc, rule_selector: str):
 
 
 def get_content(body: str, rule_selector: Optional[str], raw_doc=None):
-    """getContent (readability.go:168-208): custom rule first, fallback general."""
+    """getContent (readability.go:168-208): custom rule first, fallback general.
+
+    Returns (content, rich, meta) where meta carries per-document extraction
+    metrics (rule_hit / general_parse / Document.stats counters).
+    """
     if rule_selector:
         if raw_doc is None:
             raw_doc = parse(body)
         try:
-            return _custom_parser(raw_doc, rule_selector)
+            content, rich = _custom_parser(raw_doc, rule_selector)
+            return content, rich, {"rule_hit": 1, "general_parse": 0}
         except ExtractError:
             pass
-    return _general_parser(body)
+    content, rich, stats = _general_parser(body)
+    meta = {"rule_hit": 0, "general_parse": 1}
+    meta.update(stats)
+    return content, rich, meta
 
 
 def extract_document(
@@ -82,7 +91,7 @@ def extract_document(
     raw_doc = parse(body)
 
     content_type, charset = detect_type_charset(raw_doc, header_content_type)
-    content, rich = get_content(body, rule_selector, raw_doc=raw_doc)
+    content, rich, meta = get_content(body, rule_selector, raw_doc=raw_doc)
     title = first_title_text(raw_doc)
 
     try:
@@ -111,4 +120,14 @@ def extract_document(
         "links": all_links if all_links else None,
         "type": content_type,
         "charset": charset,
+        "metrics": {
+            "nodes_scored": meta.get("nodes_scored", 0),
+            "candidates_rejected": meta.get("candidates_rejected", 0),
+            "bytes_stripped": max(
+                0, len(body.encode("utf-8", "surrogatepass")) - len(content.encode("utf-8", "surrogatepass"))
+            ),
+            "rule_hit": meta.get("rule_hit", 0),
+            "general_parse": meta.get("general_parse", 0),
+            "retries_relaxed": meta.get("retries_relaxed", 0),
+        },
     }

@@ -87,6 +87,10 @@ class Document:
         self.candidates: dict = {}  # id(node) -> Candidate (node ref kept alive)
         self.best_candidate: Candidate = None
 
+        # extraction metrics (north_rule: nodes scored / candidates rejected /
+        # retries), accumulated across retry rounds
+        self.stats = {"nodes_scored": 0, "candidates_rejected": 0, "retries_relaxed": 0}
+
         self.remove_unlikely_candidates = True
         self.weight_classes = True
         self.clean_conditionally = True
@@ -129,6 +133,7 @@ class Document:
                     retry = False
 
                 if retry:
+                    self.stats["retries_relaxed"] += 1
                     self._initialize_html(self.input)
                     article_text, _ = self.content_with_html()
 
@@ -200,6 +205,7 @@ class Document:
                 continue
             s = nd.attr_or("class", "") + nd.attr_or("id", "")
             if RE_BLACKLIST.search(s) or (RE_UNLIKELY.search(s) and not RE_OK_MAYBE.search(s)):
+                self.stats["candidates_rejected"] += 1
                 _remove_node(nd)
 
     # R4 — transformMisusedDivsIntoParagraphs (readability.go:237-255)
@@ -245,6 +251,7 @@ class Document:
         for cand in candidates.values():
             cand.score = f32(cand.score * (f32(1) - self._get_link_density(cand.node)))
 
+        self.stats["nodes_scored"] += len(candidates)
         self.candidates = candidates
 
     # R7 — getLinkDensity (readability.go:306-315); byte lengths
@@ -353,6 +360,7 @@ class Document:
             content_score = c.score if c is not None and c.node is nd else f32(0)
 
             if float(f32(weight + content_score)) < 0:
+                self.stats["candidates_rejected"] += 1
                 _remove_node(nd)
                 continue
 
@@ -388,6 +396,7 @@ class Document:
                     remove = True
 
                 if remove:
+                    self.stats["candidates_rejected"] += 1
                     _remove_node(nd)
 
 
