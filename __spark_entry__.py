@@ -246,6 +246,100 @@ _ORACLE_RULES_UPSERT = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators (dedup / similarity / text analysis /
+# multimodal) over the documents & embeddings tables
+# ---------------------------------------------------------------------------
+
+from ukeeper_readability_spark.pipeline import (  # noqa: E402
+    cosine_topk_bruteforce,
+    cosine_topk_bucketed,
+    exact_duplicates,
+    fingerprint,
+    language_id,
+    media_features,
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    quality_score,
+    simhash,
+    synthesize_media,
+    token_counts,
+)
+from ukeeper_readability_spark.pipeline import oracles as _po  # noqa: E402
+from ukeeper_readability_spark.pipeline.text_analysis import STOPWORDS  # noqa: E402
+
+
+def _docs(spark, sf_dir):
+    _register(spark, sf_dir, "documents")
+    return spark.table("documents")
+
+
+def _dup_corpus(spark, sf_dir):
+    _register(spark, sf_dir, "documents")
+    return spark.sql(_po.DUP_CORPUS_SQL)
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return exact_duplicates(_dup_corpus(spark, sf_dir))
+
+
+def _q_minhash_pairs(spark, sf_dir):
+    return minhash_lsh_pairs(
+        _dup_corpus(spark, sf_dir), shingle_n=3, k=8, bands=4, portable=True
+    )
+
+
+def _q_jaccard(spark, sf_dir):
+    corpus = _dup_corpus(spark, sf_dir)
+    pairs = minhash_lsh_pairs(corpus, shingle_n=3, k=8, bands=4, portable=True)
+    return ngram_jaccard(corpus, pairs, shingle_n=3)
+
+
+def _q_simhash(spark, sf_dir):
+    return simhash(_docs(spark, sf_dir), bits=16, portable=True)
+
+
+def _q_token_counts(spark, sf_dir):
+    return token_counts(_docs(spark, sf_dir))
+
+
+def _q_language_id(spark, sf_dir):
+    return language_id(_docs(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    return fingerprint(_docs(spark, sf_dir), shingle_n=5)
+
+
+def _q_ann_brute(spark, sf_dir):
+    _register(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return cosine_topk_bruteforce(
+        emb, queries, k=5, query_id_col="query_id"
+    )
+
+
+def _q_ann_ivf(spark, sf_dir):
+    _register(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    return cosine_topk_bucketed(emb, queries, k=5, query_id_col="query_id")
+
+
+def _q_media_features(spark, sf_dir):
+    media = synthesize_media(spark, _docs(spark, sf_dir))
+    return media_features(media, num_partitions=8)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: boilerplate-strip extraction over sf0.001 (driver smoke)."""
     return _q_extract(BOILERPLATE_WRAP_SQL)(spark, "/root/testdata/sf0.001")
@@ -260,6 +354,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extraction_metrics_by_conv": _q_metrics_by_conv,
         "rules_first_match": _q_rules_first_match,
         "rules_upsert_merge": _q_rules_upsert,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh_pairs": _q_minhash_pairs,
+        "dedup_ngram_jaccard": _q_jaccard,
+        "dedup_simhash": _q_simhash,
+        "text_token_counts": _q_token_counts,
+        "text_language_id": _q_language_id,
+        "text_quality_score": _q_quality,
+        "text_fingerprint": _q_fingerprint,
+        "ann_cosine_bruteforce": _q_ann_brute,
+        "ann_cosine_ivf_label": _q_ann_ivf,
+        "multimodal_media_features": _q_media_features,
     }
 
 
@@ -274,4 +379,15 @@ def oracle_sql() -> dict[str, str]:
         "extraction_metrics_by_conv": _ORACLE_METRICS_BY_CONV,
         "rules_first_match": _ORACLE_RULES_FIRST_MATCH,
         "rules_upsert_merge": _ORACLE_RULES_UPSERT,
+        "dedup_exact": _po.dedup_exact_sql(),
+        "dedup_minhash_lsh_pairs": _po.minhash_pairs_sql(3, 8, 4),
+        "dedup_ngram_jaccard": _po.jaccard_sql(3, 8, 4),
+        "dedup_simhash": _po.simhash_sql(16),
+        "text_token_counts": _po.token_counts_sql(),
+        "text_language_id": _po.language_id_sql(STOPWORDS),
+        "text_quality_score": _po.quality_score_sql(STOPWORDS["en"]),
+        "text_fingerprint": _po.fingerprint_sql(5),
+        "ann_cosine_bruteforce": _po.ann_sql(5, 50, bucketed=False),
+        "ann_cosine_ivf_label": _po.ann_sql(5, 50, bucketed=True),
+        "multimodal_media_features": _po.media_features_sql(),
     }

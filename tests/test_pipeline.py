@@ -1,0 +1,101 @@
+"""Training-data pipeline operator tests (dedup, similarity, text, multimodal)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ukeeper_readability_spark.pipeline import (
+    cosine_topk_bruteforce,
+    exact_duplicates,
+    fingerprint,
+    language_id,
+    media_features,
+    minhash_lsh_pairs,
+    ngram_jaccard,
+    quality_score,
+    simhash,
+    synthesize_media,
+    token_counts,
+)
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base + " with a tiny suffix change"),  # near dup of 0
+        (3, "completely different words about spark and tables and joins here"),
+        (4, "el la de que y en un una los por palabras aqui"),  # spanish-ish
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark, docs):
+    groups = {r.doc_id: r for r in exact_duplicates(docs).collect()}
+    assert set(groups) == {0, 1}
+    assert groups[1].canonical_id == 0 and groups[1].group_size == 2
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs, k=8, bands=4).collect()}
+    assert (0, 1) in pairs  # identical docs always collide
+    assert (0, 2) in pairs or (1, 2) in pairs  # near-dup shares most shingles
+    assert not any(3 in p or 4 in p for p in pairs)
+
+
+def test_jaccard_values(spark, docs):
+    pairs = minhash_lsh_pairs(docs, k=8, bands=4)
+    j = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard(docs, pairs).collect()}
+    assert j[(0, 1)] == 1.0
+    for (a, b), v in j.items():
+        assert 0.0 <= v <= 1.0
+
+
+def test_simhash_near_dup_distance(spark, docs):
+    sh = {r.doc_id: r.simhash for r in simhash(docs, bits=16, portable=True).collect()}
+    assert sh[0] == sh[1]
+    ham_near = bin(sh[0] ^ sh[2]).count("1")
+    ham_far = bin(sh[0] ^ sh[3]).count("1")
+    assert ham_near < ham_far
+
+
+def test_text_analysis(spark, docs):
+    tc = {r.doc_id: r for r in token_counts(docs).collect()}
+    assert tc[0].n_tokens == 13
+    li = {r.doc_id: r for r in language_id(docs).collect()}
+    assert li[0].detected_lang == "en"
+    assert li[4].detected_lang == "es"
+    q = {r.doc_id: r for r in quality_score(docs).collect()}
+    assert 0 < q[0].distinct_token_ratio < 1  # repeated 'the'/'again'
+    fp = {r.doc_id: r.fingerprint for r in fingerprint(docs).collect()}
+    assert fp[0] == fp[1] and fp[0] != fp[3]
+
+
+def test_ann_bruteforce_self_similarity(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),
+        (2, [0.0, 1.0, 0.0], 1),
+        (3, [0.0, 0.95, 0.05], 1),
+        (50, [1.0, 0.05, 0.0], 0),  # the query (vec_id % 50 == 0)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    queries = emb.filter(F.col("vec_id") == 50).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    top = cosine_topk_bruteforce(emb, queries, k=2).collect()
+    assert [r.neighbor_id for r in sorted(top, key=lambda r: r.rank)] == [0, 1]
+
+
+def test_media_features_stub(spark, docs):
+    media = synthesize_media(spark, docs)
+    feats = {r.media_id: r for r in media_features(media).collect()}
+    assert len(feats) == 5
+    for r in feats.values():
+        assert r.n_bytes == 16
+        assert 1 <= r.width <= 256 and 1 <= r.height <= 256
+        assert 1 <= r.n_frames <= 8
+        assert len(r.checksum_hex) == 32

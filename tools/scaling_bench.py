@@ -1,0 +1,162 @@
+"""Two-parallelism scaling evidence (BASELINE.json north_rule).
+
+Runs bench.py twice — local[N] and local[4N] — on the same input via
+spark-submit-equivalent subprocesses and reports throughput at both plus
+scaling efficiency = (throughput_4N / throughput_N) / 4. Writes BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(cpus: int, sf_dir: str) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cpus)
+    env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    # bind the WHOLE process tree (JVM + Python workers) to exactly `cpus`
+    # cores: with bare local[N] the JVM's arrow/shuffle/codegen threads run on
+    # cores beyond N, inflating the small run's per-core throughput and
+    # corrupting the ratio — taskset emulates a cluster node of that size
+    prefix = ["taskset", "-c", f"0-{cpus - 1}"]
+    # larger corpus than the per-round bench: fixed per-job costs (stage
+    # scheduling, arrow setup, final agg) must be amortized or they dominate
+    # the numerator at high core counts and the measurement stops being about
+    # the job's scalability
+    env.setdefault("SPARK_GRAFT_BENCH_COPIES", "12")
+    env.setdefault("SPARK_GRAFT_BENCH_FIXTURE_TURNS", "24000")
+    out = subprocess.run(
+        prefix + [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=900,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+_CONTROL_SNIPPET = r"""
+import multiprocessing as mp, sys, time
+sys.path.insert(0, {repo!r})
+
+def work(n):
+    from ukeeper_readability_spark.engine import extract_document
+    s = open({fixture!r}, encoding="utf-8").read()
+    for i in range(n):
+        extract_document(s + f"<!-- m{{i}} -->", "http://u.com/x/", snippet_size=200)
+    return n
+
+if __name__ == "__main__":
+    procs = int(sys.argv[1]); per = int(sys.argv[2])
+    with mp.Pool(procs) as p:
+        p.map(work, [1] * procs)
+        t0 = time.perf_counter()
+        p.map(work, [per] * procs)
+        print(procs * per / (time.perf_counter() - t0))
+"""
+
+
+def hardware_control(n: int) -> dict:
+    """Pure-multiprocessing scaling of the same extraction code on the same
+    taskset-bound cores — the single-box ceiling (per-core clock droop under
+    load). Separates hardware effects from Spark overhead in the report."""
+    fixture = os.path.join(
+        REPO, "ukeeper_readability_spark/data/fixtures/podcast-369.html"
+    )
+    script = _CONTROL_SNIPPET.format(repo=REPO, fixture=fixture)
+    rates = {}
+    for procs in (n, 4 * n):
+        out = subprocess.run(
+            ["taskset", "-c", f"0-{procs - 1}", sys.executable, "-c", script,
+             str(procs), "120"],
+            capture_output=True, text=True, timeout=600,
+        )
+        rates[procs] = float(out.stdout.strip().splitlines()[-1])
+    return {
+        "docs_per_sec": rates,
+        "efficiency": round((rates[4 * n] / rates[n]) / 4, 3),
+    }
+
+
+def _median_run(cpus: int, sf_dir: str, trials: int) -> dict:
+    runs = [run_bench(cpus, sf_dir) for _ in range(trials)]
+    # keep the run with median total wall-clock (single-box timings are noisy)
+    runs.sort(key=lambda r: r["value"])
+    return runs[len(runs) // 2]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # N=4 → 4N=16 by default: at local[32] on this 32-core box the JVM's
+    # arrow/shuffle threads compete with the 32 Python UDF workers for the same
+    # cores, so a 32-thread run measures machine saturation, not job
+    # scalability; 16+JVM fits the box
+    n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+    trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
+    lo = _median_run(n, sf_dir, trials)
+    hi = _median_run(4 * n, sf_dir, trials)
+
+    ctrl = hardware_control(n)
+
+    report = {"sf_dir": sf_dir, "n": n, "runs": {f"local[{n}]": lo, f"local[{4*n}]": hi}}
+    effs = {}
+    norm = {}
+    for q in lo["turns_per_sec"]:
+        r_lo = lo["turns_per_sec"][q]
+        r_hi = hi["turns_per_sec"][q]
+        effs[q] = round((r_hi / r_lo) / 4, 3)
+        norm[q] = round(effs[q] / ctrl["efficiency"], 3)
+    report["scaling_efficiency"] = effs
+    report["hardware_control"] = ctrl
+    report["efficiency_normalized_to_hardware"] = norm
+    print(json.dumps(report, indent=2))
+
+    lines = [
+        "# BENCH — two-parallelism scaling evidence",
+        "",
+        f"Generated {datetime.now(timezone.utc).isoformat(timespec='seconds')} by tools/scaling_bench.py.",
+        "Same input (pre-materialized parquet corpus), same job, median of {} trials,".format(
+            os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3")
+        ),
+        "`taskset`-bound `local[{}]` vs `local[{}]` (sandbox stand-in for N vs 4N".format(n, 4 * n),
+        "executors per BASELINE.json north_rule); Python UDF workers warmed before timing.",
+        "",
+        "| query | turns | local[{}] (turns/s) | local[{}] (turns/s) | efficiency | vs hw ceiling |".format(n, 4 * n),
+        "|---|---|---|---|---|---|",
+    ]
+    for q in lo["turns_per_sec"]:
+        lines.append(
+            f"| {q} | {lo['turns'][q]} | {lo['turns_per_sec'][q]} | "
+            f"{hi['turns_per_sec'][q]} | {effs[q]} | {norm[q]} |"
+        )
+    lines += [
+        "",
+        "Efficiency = (throughput_4N / throughput_N) / 4; target ≥ 0.8.",
+        "",
+        "**Hardware control**: the same extraction code under plain `multiprocessing`",
+        f"on the same taskset-bound cores scales at {ctrl['efficiency']} ({ctrl['docs_per_sec']}),",
+        "i.e. this single shared box loses per-core clock under load. That droop does",
+        "not exist between separate N- and 4N-executor cluster nodes, so the",
+        "'vs hw ceiling' column (Spark efficiency ÷ hardware efficiency) is the",
+        "cluster-relevant number: Spark-added overhead only.",
+        "",
+        "Raw bench lines:",
+        "```json",
+        json.dumps(lo),
+        json.dumps(hi),
+        "```",
+    ]
+    with open(os.path.join(REPO, "BENCH.md"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print("wrote BENCH.md")
+
+
+if __name__ == "__main__":
+    main()

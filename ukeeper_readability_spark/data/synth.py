@@ -143,3 +143,39 @@ def fixture_transcripts_df(spark, n_turns: int = 60, skew_conv_every: int = 0):
     return spark.createDataFrame(
         fixture_transcript_rows(n_turns, skew_conv_every), TRANSCRIPTS_SCHEMA
     )
+
+
+def fixture_transcripts_distributed(spark, n_turns: int, partitions: int = None):
+    """Executor-side corpus generation for bench/scaling runs: only 3 fixture
+    rows leave the driver (broadcast); the n_turns expansion happens on the
+    cluster (spark.range → broadcast join → concat). Payload per row is the
+    fixture HTML plus a unique marker comment (stripped by the parser's comment
+    regex, so per-turn goldens still hold)."""
+    from pyspark.sql import functions as F
+
+    urls = {
+        "vsiem-mirom-dlia-obshchiei-polzy": "http://umputun.com/2015/11/26/vsiem-mirom-dlia-obshchiei-polzy/",
+        "podcast-369": "https://podcast.umputun.com/p/2015/11/22/podcast-369/",
+        "poiezdka-s-apple-maps": "http://umputun.com/2015/09/25/poiezdka-s-apple-maps/",
+    }
+    base = spark.createDataFrame(
+        [(i, load_fixture(n), urls[n]) for i, n in enumerate(FIXTURE_NAMES)],
+        "fid int, html string, url string",
+    )
+    rng = spark.range(0, n_turns, 1, partitions or spark.sparkContext.defaultParallelism)
+    t = rng.select(
+        (F.col("id") % 3).cast("int").alias("fid"),
+        F.format_string("conv-%05d", (F.col("id") / 6).cast("int")).alias("conv_id"),
+        (F.col("id") % 6).cast("int").alias("turn_idx"),
+        F.col("id").alias("i"),
+    )
+    return t.join(F.broadcast(base), "fid").select(
+        "conv_id",
+        "turn_idx",
+        F.lit("tool").alias("role"),
+        F.concat(
+            F.col("html"), F.format_string("<!-- synthetic-marker %d -->", F.col("i"))
+        ).alias("text"),
+        F.col("url").alias("tool"),
+        F.lit("2026-01-01").cast("timestamp").alias("ts"),
+    )

@@ -26,6 +26,7 @@ from ..htmldom import (
     parse,
     siblings_then_self,
 )
+from ..htmldom.query import count_descendant_tags, link_and_text_bytes
 from ..htmldom.node import Node
 from ..htmldom.render import render
 
@@ -254,12 +255,9 @@ class Document:
         self.stats["nodes_scored"] += len(candidates)
         self.candidates = candidates
 
-    # R7 — getLinkDensity (readability.go:306-315); byte lengths
+    # R7 — getLinkDensity (readability.go:306-315); byte lengths, single walk
     def _get_link_density(self, nd: Node):
-        link_length = 0
-        for a in find_all(nd, "a"):
-            link_length += _blen(node_text(a))
-        text_length = _blen(node_text(nd))
+        link_length, text_length = link_and_text_bytes(nd)
         if text_length == 0:
             return f32(0)
         return f32(f32(link_length) / f32(text_length))
@@ -366,14 +364,10 @@ class Document:
 
             text = node_text(nd)
             if text.count(",") < 10:
-                counts = {
-                    "p": len(find_all(nd, "p")),
-                    "img": len(find_all(nd, "img")),
-                    "li": len(find_all(nd, "li")) - 100,
-                    "a": len(find_all(nd, "a")),
-                    "embed": len(find_all(nd, "embed")),
-                    "input": len(find_all(nd, "input")),
-                }
+                counts = count_descendant_tags(
+                    nd, ("p", "img", "li", "a", "embed", "input")
+                )
+                counts["li"] -= 100
                 content_length = _trim_bytes_len(text)
                 link_density = self._get_link_density(nd)
                 remove = False

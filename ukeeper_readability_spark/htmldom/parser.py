@@ -177,6 +177,8 @@ def _scan_tag(s: str, i: int, n: int):
     while i < n and s[i] not in _NAME_END:
         i += 1
     name = s[start:i].lower()
+    if i < n and s[i] == ">":  # fast path: attribute-less tag
+        return name, [], False, i + 1
     attrs = []
     seen = set()
     self_closing = False

@@ -111,8 +111,21 @@ def _parse_simple(tok: str) -> _Simple:
     return _Simple(tag, id_, classes)
 
 
+_SELECTOR_CACHE: dict = {}
+
+
 def compile_selector(sel: str):
-    """Compile a selector group into a list of _Chain."""
+    """Compile a selector group into a list of _Chain (memoized)."""
+    cached = _SELECTOR_CACHE.get(sel)
+    if cached is not None:
+        return cached
+    chains = _compile_selector_uncached(sel)
+    if len(_SELECTOR_CACHE) < 4096:
+        _SELECTOR_CACHE[sel] = chains
+    return chains
+
+
+def _compile_selector_uncached(sel: str):
     chains = []
     for group in sel.split(","):
         group = group.strip()
@@ -178,17 +191,68 @@ def node_text(n: Node) -> str:
     sanitize walk converts elements to text nodes in place).
     """
     buf = []
-
-    def walk(nd: Node):
+    stack = [n]
+    while stack:
+        nd = stack.pop()
         if nd.type == TEXT_NODE:
             buf.append(nd.data)
         c = nd.first_child
-        while c is not None:
-            walk(c)
-            c = c.next_sibling
-
-    walk(n)
+        if c is not None:
+            kids = []
+            while c is not None:
+                kids.append(c)
+                c = c.next_sibling
+            stack.extend(reversed(kids))
     return "".join(buf)
+
+
+def count_descendant_tags(n: Node, tags) -> dict:
+    """Count element descendants by tag in one walk (Find(tag).Length())."""
+    counts = dict.fromkeys(tags, 0)
+    walk = [n]
+    while walk:
+        nd = walk.pop()
+        c = nd.first_child
+        while c is not None:
+            if c.type == ELEMENT_NODE:
+                if c.data in counts:
+                    counts[c.data] += 1
+                walk.append(c)
+            elif c.first_child is not None:
+                walk.append(c)
+            c = c.next_sibling
+    return counts
+
+
+def link_and_text_bytes(n: Node) -> tuple:
+    """(text bytes under <a> descendants ×nesting multiplicity, total text bytes).
+
+    Matches goquery s.Find("a").Text() + s.Text() in one walk: a text node under
+    k nested <a> descendants is counted k times in the link total
+    (go-readability readability.go:306-314; UTF-8 byte semantics).
+    """
+    link = 0
+    total = 0
+    stack = [(n, 0)]  # Find("a") matches strict descendants: root's tag ignored
+    while stack:
+        nd, a_depth = stack.pop()
+        if nd.type == TEXT_NODE and nd.data:
+            b = len(nd.data.encode("utf-8", "surrogatepass"))
+            total += b
+            if a_depth:
+                link += b * a_depth
+        c = nd.first_child
+        if c is not None:
+            child_depth = a_depth + (
+                1 if (nd is not n and nd.type == ELEMENT_NODE and nd.data == "a") else 0
+            )
+            kids = []
+            while c is not None:
+                kids.append(c)
+                c = c.next_sibling
+            for k in reversed(kids):
+                stack.append((k, child_depth))
+    return link, total
 
 
 def siblings_then_self(n: Node) -> list:

@@ -36,9 +36,14 @@ _text_trans = str.maketrans(_ESCAPES)
 _LITERAL_CHILD_TAGS = RAW_TEXT
 
 
+import re as _re
+
+_ESC_RE = _re.compile(r"[&'<>\"\r]")
+
+
 def escape_text(s: str) -> str:
     # x/net/html escapes the same set in text and attributes
-    if any(ch in s for ch in "&'<>\"\r"):
+    if _ESC_RE.search(s) is not None:
         return s.translate(_text_trans)
     return s
 

@@ -52,6 +52,10 @@ def get_spark(
         b = b.master(master)
     b = b.config("spark.sql.adaptive.enabled", "true")
     b = b.config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # ~2 MB arrow batches for 10-20 KB HTML payloads: the default 10k-row
+    # batches would be 150 MB+ per exchange (memory-hostile at 100 TB scale)
+    # and serialize JVM↔Python pipelining; small batches overlap the stages
+    b = b.config("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
     if shuffle_partitions:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     return b.getOrCreate()

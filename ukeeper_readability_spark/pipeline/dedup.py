@@ -1,0 +1,185 @@
+"""Deduplication operators over a document corpus — Spark-built-in-first.
+
+All stages are JVM-side (explode / groupBy / min / joins); no Python UDFs.
+Two hash modes:
+  - "fast": xxhash64 (Tungsten-native) — the production path at 100 TB;
+  - "portable": md5 hex strings (identical in DuckDB) — lets the driver's
+    oracle verify the full shingle→minhash→band→bucket-join composition
+    value-for-value, not just row counts.
+
+Scale notes: minhash signatures are k aggregations over an exploded shingle
+relation — one shuffle on doc_id with map-side partial min; banding re-shuffles
+on (band, band_key) whose cardinality is bounded by corpus size, not pair
+count, so the O(n²) candidate space is never materialized beyond same-bucket
+groups. Skewed buckets (boilerplate-identical shingles) are capped by
+`max_bucket` before the pair join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by full-text hash: (doc_id, canonical_id, group size).
+
+    Canonical = lowest key in the group. Hash-groupBy — one shuffle on the text
+    hash, never on the text itself.
+    """
+    h = F.md5(F.col(text_col)).alias("text_hash")
+    w = Window.partitionBy("text_hash")
+    return (
+        docs.select(F.col(key_col).alias("doc_id"), h)
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w))
+        .filter(F.col("group_size") > 1)
+        .select("doc_id", "canonical_id", "group_size")
+    )
+
+
+def _shingles(docs: DataFrame, text_col: str, key_col: str, n: int) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    toks = F.split(F.trim(F.col(text_col)), " +")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return (
+        docs.select(F.col(key_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shingle_n: int = 3,
+    k: int = 16,
+    portable: bool = False,
+) -> DataFrame:
+    """(doc_id, mh_0..mh_{k-1}): min over shingles of k seeded hashes.
+
+    One groupBy(doc_id) with k partial-agg mins — map-side combine keeps the
+    shuffle at one row per doc.
+    """
+    sh = _shingles(docs, text_col, key_col, shingle_n)
+    if portable:
+        cols = [
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"mh_{i}")
+            for i in range(k)
+        ]
+    else:
+        cols = [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
+            for i in range(k)
+        ]
+    return sh.groupBy("doc_id").agg(*cols)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shingle_n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    portable: bool = False,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (doc_a < doc_b) via banded minhash LSH.
+
+    bands × rows-per-band = k. Pairs emerge from a self-join per bucket; buckets
+    larger than `max_bucket` (degenerate boilerplate) are dropped — at web scale
+    those are handled by exact dedup first.
+    """
+    rows_per_band = k // bands
+    sig = minhash_signatures(docs, text_col, key_col, shingle_n, k, portable)
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{i}").cast("string") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("|", *parts).alias("band_key"))
+        )
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+    sized = buckets.withColumn(
+        "bsize", F.count(F.lit(1)).over(Window.partitionBy("band", "band_key"))
+    ).filter(F.col("bsize") <= max_bucket)
+
+    a = sized.select("band", "band_key", F.col("doc_id").alias("doc_a"))
+    b = sized.select("band", "band_key", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram shingle sets for given candidate pairs."""
+    sh = _shingles(docs, text_col, key_col, shingle_n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(a, "doc_a").join(b, ["doc_b", "shingle"]).groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    bits: int = 16,
+    portable: bool = False,
+) -> DataFrame:
+    """(doc_id, simhash int): sign-sum over token hash bits.
+
+    bits=16 portable mode uses the first 4 hex chars of md5 (verifiable in
+    DuckDB); fast mode uses the low `bits` of xxhash64.
+    """
+    toks = (
+        docs.select(F.col(key_col).alias("doc_id"), F.explode(F.split(F.trim(F.col(text_col)), " +")).alias("tok"))
+    )
+    if portable:
+        # nibble j of md5 hex → 4 bits each; use first bits/4 hex chars
+        hexpart = F.substring(F.md5(F.col("tok")), 1, bits // 4)
+        toks = toks.withColumn("h", F.conv(hexpart, 16, 10).cast("long"))
+    else:
+        toks = toks.withColumn("h", F.pmod(F.xxhash64("tok"), F.lit(2 ** bits)))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s_{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_aggs)
+    sim = F.lit(0).cast("long")
+    for j in range(bits):
+        sim = sim + F.when(F.col(f"s_{j}") > 0, F.lit(2 ** j)).otherwise(0)
+    return agg.select("doc_id", sim.alias("simhash"))

@@ -1,0 +1,203 @@
+"""DuckDB oracle SQL for the pipeline operators (dedup / similarity / text
+analysis / multimodal).
+
+Each function returns SQL that recomputes the operator's expected output from
+the driver's registered views using DuckDB list functions. Hashing is md5
+(portable across engines); floating point is double with identical
+accumulation order and 6-dp rounding.
+
+Dialect gotchas encoded here: DuckDB list_slice is 1-based with INCLUSIVE end
+(Spark F.slice takes a LENGTH); DuckDB regexp_replace needs the 'g' flag to
+replace all; DuckDB list_cosine_similarity computes in float32 so we build
+cosine from list_dot_product over DOUBLE[] instead.
+"""
+
+from __future__ import annotations
+
+# corpus with injected exact duplicates (shared by Spark + DuckDB sides)
+DUP_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+"""
+
+_TOKS = "string_split_regex(trim(lower(text)), ' +')"
+_TOKS_CASED = "string_split_regex(trim(text), ' +')"
+
+
+def dedup_exact_sql() -> str:
+    return f"""
+        WITH corpus AS ({DUP_CORPUS_SQL}),
+        h AS (SELECT doc_id, md5(text) AS text_hash FROM corpus),
+        g AS (SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY text_hash) AS canonical_id,
+                     count(*) OVER (PARTITION BY text_hash) AS group_size
+              FROM h)
+        SELECT doc_id, canonical_id, group_size FROM g WHERE group_size > 1
+    """
+
+
+def _shingle_list(tok_expr: str, n: int) -> str:
+    return (
+        f"list_distinct(list_transform(range(0, greatest(len({tok_expr}) - {n}, 0) + 1), "
+        f"i -> array_to_string(list_slice({tok_expr}, i + 1, i + {n}), ' ')))"
+    )
+
+
+def minhash_pairs_sql(shingle_n: int = 3, k: int = 8, bands: int = 4) -> str:
+    rows = k // bands
+    mh_cols = ",\n               ".join(
+        f"list_aggregate(list_transform(shingles, s -> md5(s || '#{i}')), 'min') AS mh_{i}"
+        for i in range(k)
+    )
+    band_selects = "\n            UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS band_key FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(f"mh_{i}" for i in range(b * rows, (b + 1) * rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+        WITH corpus AS ({DUP_CORPUS_SQL}),
+        sh AS (SELECT doc_id, {_shingle_list(_TOKS_CASED, shingle_n)} AS shingles FROM corpus),
+        sig AS (SELECT doc_id,
+               {mh_cols}
+               FROM sh),
+        bands AS (
+            {band_selects}
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """
+
+
+def jaccard_sql(shingle_n: int = 3, k: int = 8, bands: int = 4) -> str:
+    return f"""
+        WITH corpus AS ({DUP_CORPUS_SQL}),
+        pairs AS ({minhash_pairs_sql(shingle_n, k, bands)}),
+        sh AS (SELECT doc_id, {_shingle_list(_TOKS_CASED, shingle_n)} AS shingles FROM corpus)
+        SELECT p.doc_a, p.doc_b,
+               round(len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+                     (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))),
+                     6) AS jaccard
+        FROM pairs p
+        JOIN sh a ON a.doc_id = p.doc_a
+        JOIN sh b ON b.doc_id = p.doc_b
+    """
+
+
+def simhash_sql(bits: int = 16) -> str:
+    hexchars = bits // 4
+    h = f"CAST(('0x' || substr(md5(t), 1, {hexchars})) AS BIGINT)"
+    sums = ",\n               ".join(
+        f"list_aggregate(list_transform(tk, t -> CASE WHEN ({h} >> {j}) & 1 = 1 THEN 1 ELSE -1 END), 'sum') AS s_{j}"
+        for j in range(bits)
+    )
+    sim = " + ".join(f"CASE WHEN s_{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(bits))
+    return f"""
+        WITH toks AS (SELECT doc_id, {_TOKS_CASED} AS tk FROM documents),
+        sums AS (SELECT doc_id,
+               {sums}
+               FROM toks)
+        SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM sums
+    """
+
+
+def token_counts_sql() -> str:
+    return f"""
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+               CAST(list_aggregate(list_transform({_TOKS},
+                    t -> CAST(ceil(length(t) / 4.0) AS BIGINT)), 'sum') AS BIGINT) AS n_subwords,
+               CAST(length(text) AS BIGINT) AS n_chars_measured
+        FROM documents
+    """
+
+
+def language_id_sql(stopwords: dict) -> str:
+    structs = ", ".join(
+        "{{'neg_hits': -len(list_filter({toks}, t -> list_contains({lst}, t))), "
+        "'lang': '{lang}', "
+        "'hits': len(list_filter({toks}, t -> list_contains({lst}, t)))}}".format(
+            toks=_TOKS,
+            lang=lang,
+            lst="[" + ", ".join(f"'{w}'" for w in words) + "]",
+        )
+        for lang, words in sorted(stopwords.items())
+    )
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, list_sort([{structs}])[1] AS best FROM documents
+        )
+        SELECT doc_id, best.lang AS detected_lang,
+               CAST(best.hits AS INT) AS stopword_hits
+        FROM scored
+    """
+
+
+def quality_score_sql(en_stopwords: list) -> str:
+    lst = "[" + ", ".join(f"'{w}'" for w in en_stopwords) + "]"
+    return f"""
+        WITH b AS (
+            SELECT doc_id,
+                   length(text) AS nc,
+                   {_TOKS} AS tk,
+                   length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(nc AS BIGINT) AS n_chars_measured,
+               CAST(len(tk) AS BIGINT) AS n_tokens,
+               round(nc / greatest(len(tk), 1), 6) AS mean_word_len,
+               round(punct / greatest(nc, 1), 6) AS punct_ratio,
+               round(len(list_filter(tk, t -> list_contains({lst}, t))) / greatest(len(tk), 1), 6) AS stopword_ratio,
+               round(len(list_distinct(tk)) / greatest(len(tk), 1), 6) AS distinct_token_ratio,
+               round(least(len(tk) / 100.0, 1.0) * (len(list_distinct(tk)) / greatest(len(tk), 1)), 6) AS quality
+        FROM b
+    """
+
+
+def fingerprint_sql(shingle_n: int = 5) -> str:
+    return f"""
+        SELECT doc_id,
+               list_aggregate(list_transform({_shingle_list(_TOKS, shingle_n)}, s -> md5(s)), 'min') AS fingerprint
+        FROM documents
+    """
+
+
+def ann_sql(k: int = 5, query_mod: int = 50, bucketed: bool = False) -> str:
+    bucket_cond = "AND e.label = q.label" if bucketed else ""
+    return f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding, label FROM embeddings
+                   WHERE vec_id % {query_mod} = 0),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   round(list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+                         (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                          sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cosine
+            FROM embeddings e, q
+            WHERE e.vec_id <> q.query_id {bucket_cond}
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def media_features_sql() -> str:
+    return """
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               ['image', 'audio', 'video'][(doc_id % 3) + 1] AS kind,
+               CAST(16 AS BIGINT) AS n_bytes,
+               CAST(1 + ('0x' || substr(md5(text), 1, 2))::INT AS INT) AS width,
+               CAST(1 + ('0x' || substr(md5(text), 3, 2))::INT AS INT) AS height,
+               CAST(1 + (('0x' || substr(md5(text), 5, 2))::INT % 8) AS INT) AS n_frames,
+               md5(text) AS checksum_hex
+        FROM documents
+    """

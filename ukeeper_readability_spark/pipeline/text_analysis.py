@@ -1,0 +1,106 @@
+"""Text-analysis operators for a training-data pipeline — all JVM-side SQL
+expressions (no UDFs): language-ID heuristic, quality scoring, token counting,
+document fingerprinting. Each is a narrow projection + at most one aggregation,
+so they pushdown/prune cleanly and scale linearly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny built-in stopword lists for the n-gram/stopword language heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "por"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "zu", "mit", "von", "nicht"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "que", "pour", "dans"],
+}
+
+
+def _tokens(text_col):
+    return F.split(F.trim(F.lower(text_col)), " +")
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + BPE-ish subword count (regex split on
+    non-alnum boundaries and 4-char chunks — a cheap proxy for BPE length)."""
+    toks = _tokens(F.col(text_col))
+    # BPE-ish: every token contributes ceil(len/4) subword units
+    subwords = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("long"),
+    )
+    return docs.select(
+        F.col(key_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        subwords.alias("n_subwords"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars_measured"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Stopword-ratio language heuristic: argmax language by stopword hits.
+
+    Deterministic tie-break: language code ascending. Emits the winning
+    language and its hit count.
+    """
+    toks = _tokens(F.col(text_col))
+    scores = []
+    for lang, words in sorted(STOPWORDS.items()):
+        arr = F.array(*[F.lit(w) for w in words])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        # struct sorts field-by-field: (-hits, lang) ascending ≡ argmax with
+        # language-code tiebreak
+        scores.append(
+            F.struct((-hits).alias("neg_hits"), F.lit(lang).alias("lang"), hits.alias("hits"))
+        )
+    best = F.element_at(F.array_sort(F.array(*scores)), F.lit(1))
+    return docs.select(
+        F.col(key_col).alias("doc_id"),
+        best["lang"].alias("detected_lang"),
+        best["hits"].alias("stopword_hits"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + a composite score: length, mean word
+    length, punctuation ratio, stopword ratio, repetition (distinct/total
+    token ratio). All ratios rounded to 6 dp for determinism."""
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    punct = F.length(F.regexp_replace(t, "[^.,;:!?]", ""))
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda x: F.array_contains(en, x)))
+    distinct_ratio = F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1))
+    return docs.select(
+        F.col(key_col).alias("doc_id"),
+        n_chars.cast("long").alias("n_chars_measured"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(n_chars / F.greatest(n_tok, F.lit(1)), 6).alias("mean_word_len"),
+        F.round(punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(stop_hits / F.greatest(n_tok, F.lit(1)), 6).alias("stopword_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_token_ratio"),
+        F.round(
+            F.least(n_tok / F.lit(100.0), F.lit(1.0)) * distinct_ratio, 6
+        ).alias("quality"),
+    )
+
+
+def fingerprint(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shingle_n: int = 5,
+) -> DataFrame:
+    """Document fingerprint: lexicographic-min md5 over word n-gram shingles
+    (a winnowing-style content fingerprint, stable under whitespace changes
+    and portable to the DuckDB oracle)."""
+    toks = _tokens(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_n, F.lit(0)))
+    shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, shingle_n), " "))
+    fp = F.array_min(F.transform(shingles, F.md5))
+    return docs.select(F.col(key_col).alias("doc_id"), fp.alias("fingerprint"))
