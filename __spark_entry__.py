@@ -335,6 +335,26 @@ def _q_ann_ivf(spark, sf_dir):
     return cosine_topk_bucketed(emb, queries, k=5, query_id_col="query_id")
 
 
+def _q_preview_rule(spark, sf_dir):
+    """handlePreview semantics: explicit rule literal over N documents
+    (reference rest/server.go:204-274)."""
+    from ukeeper_readability_spark.jobs.extract_job import extract_by_rule
+
+    trans = _transcripts(spark, sf_dir, PLAIN_WRAP_SQL)
+    out = extract_by_rule(trans, ".content p", snippet_size=SNIPPET)
+    return out.select("conv_id", "turn_idx", "content", "rich_content", "title")
+
+
+_ORACLE_PREVIEW_RULE = f"""
+    WITH t AS ({transcripts_from_documents_sql('documents', PLAIN_WRAP_SQL)})
+    SELECT t.conv_id, t.turn_idx,
+           d.text AS content,
+           d.text AS rich_content,
+           'Doc ' || doc_id AS title
+    FROM t JOIN documents d USING (doc_id)
+"""
+
+
 def _q_media_features(spark, sf_dir):
     media = synthesize_media(spark, _docs(spark, sf_dir))
     return media_features(media, num_partitions=8)
@@ -365,6 +385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_bruteforce": _q_ann_brute,
         "ann_cosine_ivf_label": _q_ann_ivf,
         "multimodal_media_features": _q_media_features,
+        "extract_preview_rule": _q_preview_rule,
     }
 
 
@@ -390,4 +411,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_bruteforce": _po.ann_sql(5, 50, bucketed=False),
         "ann_cosine_ivf_label": _po.ann_sql(5, 50, bucketed=True),
         "multimodal_media_features": _po.media_features_sql(),
+        "extract_preview_rule": _ORACLE_PREVIEW_RULE,
     }

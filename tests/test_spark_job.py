@@ -128,6 +128,27 @@ def test_manifest_resume(spark, tmp_path):
     assert pending_buckets(spark, out_dir, nb) == []
 
 
+def test_extract_by_rule_preview(spark):
+    from ukeeper_readability_spark.jobs.extract_job import extract_by_rule
+
+    trans = fixture_transcripts_df(spark, n_turns=3)
+    out = extract_by_rule(trans, ".content p", snippet_size=200).collect()
+    apple = [r for r in out if "apple-maps" in r.url][0]
+    assert apple.m_rule_hit == 1  # selector matches class="content container"
+    vsiem = [r for r in out if "vsiem" in r.url][0]
+    assert vsiem.routed_cloudflare is False
+
+
+def test_salting_spreads_skewed_conversation(spark):
+    # one conversation holds every turn; salted repartition must spread it
+    trans = fixture_transcripts_df(spark, n_turns=24, skew_conv_every=1)
+    assert trans.select("conv_id").distinct().count() == 1
+    joined = join_rules(trans, None)
+    out = run_extraction(joined, snippet_size=200, num_partitions=8, salt_buckets=8)
+    pids = out.withColumn("pid", F.spark_partition_id()).select("pid").distinct().count()
+    assert pids > 1, "salted repartition left the skewed conversation on one partition"
+
+
 def test_partition_metrics(spark):
     out = _extract_fixtures(spark, num_partitions=2)
     m = partition_metrics(out).collect()

@@ -29,7 +29,7 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     # scheduling, arrow setup, final agg) must be amortized or they dominate
     # the numerator at high core counts and the measurement stops being about
     # the job's scalability
-    env.setdefault("SPARK_GRAFT_BENCH_COPIES", "12")
+    env.setdefault("SPARK_GRAFT_BENCH_COPIES", "24")
     env.setdefault("SPARK_GRAFT_BENCH_FIXTURE_TURNS", "24000")
     out = subprocess.run(
         prefix + [sys.executable, os.path.join(REPO, "bench.py")],

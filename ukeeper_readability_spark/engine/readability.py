@@ -209,10 +209,16 @@ class Document:
                 self.stats["candidates_rejected"] += 1
                 _remove_node(nd)
 
-    # R4 — transformMisusedDivsIntoParagraphs (readability.go:237-255)
+    # R4 — transformMisusedDivsIntoParagraphs (readability.go:237-255).
+    # The reference regex-tests the SERIALIZED inner HTML for block-level open
+    # tags; equivalently (and without serializing every div): any element
+    # descendant with one of those tags, or — since raw-text children render
+    # literally — the regex matching inside script/style/etc. text. Normal text
+    # and attribute values are escaped on render ('<' → '&lt;') so they can
+    # never produce a match.
     def _transform_misused_divs_into_paragraphs(self):
         for nd in find_all(self.document, "div"):
-            if not RE_DIV_TO_P.search(inner_html(nd)):
+            if not _contains_block_level(nd):
                 nd.data = "p"
 
     # R5 — scoreParagraphs (readability.go:257-304)
@@ -309,7 +315,10 @@ class Document:
 
         if self.remove_empty_nodes:
             for nd in find_all(body, "p"):
-                if len(inner_html(nd).strip()) == 0:
+                # serialized inner HTML is whitespace-only iff every child is a
+                # text node whose data is whitespace (comments/elements emit
+                # markup; escaping never changes whitespace-ness)
+                if _children_whitespace_only(nd):
                     _remove_node(nd)
 
         self._clean_conditionally(body, _SELECTOR_CLEAN)
@@ -392,6 +401,45 @@ class Document:
                 if remove:
                     self.stats["candidates_rejected"] += 1
                     _remove_node(nd)
+
+
+_BLOCK_LEVEL = frozenset("a blockquote dl div img ol p pre table ul".split())
+_RAW_TEXT_TAGS = frozenset(
+    "iframe noembed noframes noscript plaintext script style xmp".split()
+)
+
+
+def _contains_block_level(root: Node) -> bool:
+    """Whether RE_DIV_TO_P would match the rendered inner HTML of root."""
+    node = root.first_child
+    while node is not None and node is not root:
+        if node.type == ELEMENT_NODE:
+            if node.data in _BLOCK_LEVEL:
+                return True
+            if node.data in _RAW_TEXT_TAGS:
+                c = node.first_child
+                while c is not None:
+                    if c.type == TEXT_NODE and RE_DIV_TO_P.search(c.data):
+                        return True
+                    c = c.next_sibling
+        if node.first_child is not None:
+            node = node.first_child
+            continue
+        while node is not None and node is not root and node.next_sibling is None:
+            node = node.parent
+        if node is None or node is root:
+            break
+        node = node.next_sibling
+    return False
+
+
+def _children_whitespace_only(nd: Node) -> bool:
+    c = nd.first_child
+    while c is not None:
+        if c.type != TEXT_NODE or c.data.strip():
+            return False
+        c = c.next_sibling
+    return True
 
 
 def _remove_node(nd: Node):

@@ -65,6 +65,11 @@ TABLE_CONTEXT = frozenset(("table", "tbody", "thead", "tfoot", "tr"))
 TABLE_ONLY_TAGS = frozenset("caption col colgroup frame head tbody td tfoot th thead tr".split())
 
 _WS = " \t\n\f"
+import re as _re
+
+_TAG_NAME_RE = _re.compile(r"[^\t\n\f />]*")
+_ATTR_NAME_RE = _re.compile(r"[^ \t\n\f=/>]+")
+_UNQUOTED_VAL_RE = _re.compile(r"[^ \t\n\f>]*")
 
 
 # ---------------------------------------------------------------------------
@@ -174,8 +179,7 @@ def _tokenize(s: str):
 def _scan_tag(s: str, i: int, n: int):
     """Scan a tag starting at the first char of its name. Returns (name, attrs, self_closing, next_i)."""
     start = i
-    while i < n and s[i] not in _NAME_END:
-        i += 1
+    i = _TAG_NAME_RE.match(s, i).end()
     name = s[start:i].lower()
     if i < n and s[i] == ">":  # fast path: attribute-less tag
         return name, [], False, i + 1
@@ -198,10 +202,12 @@ def _scan_tag(s: str, i: int, n: int):
             i += 1
             continue
         # attribute name
-        astart = i
-        while i < n and s[i] not in " \t\n\f=/>":
-            i += 1
-        aname = s[astart:i].lower()
+        m = _ATTR_NAME_RE.match(s, i)
+        if m is None:  # stray '=' with no name — consume value, discard
+            aname = ""
+        else:
+            aname = m.group().lower()
+            i = m.end()
         while i < n and s[i] in _WS:
             i += 1
         val = ""
@@ -212,16 +218,15 @@ def _scan_tag(s: str, i: int, n: int):
             if i < n and s[i] in "\"'":
                 q = s[i]
                 i += 1
-                vstart = i
-                while i < n and s[i] != q:
-                    i += 1
-                val = s[vstart:i]
-                i += 1
+                end = s.find(q, i)
+                if end == -1:
+                    end = n
+                val = s[i:end]
+                i = end + 1
             else:
-                vstart = i
-                while i < n and s[i] not in " \t\n\f>":
-                    i += 1
-                val = s[vstart:i]
+                m = _UNQUOTED_VAL_RE.match(s, i)
+                val = m.group()
+                i = m.end()
         if aname and aname not in seen:
             seen.add(aname)
             attrs.append((aname, _unescape(val) if "&" in val else val))

@@ -108,6 +108,23 @@ def join_rules(
     )
 
 
+def extract_by_rule(
+    transcripts: DataFrame,
+    rule_selector: str,
+    use_cloudflare: bool = False,
+    snippet_size: int = DEFAULT_SNIPPET_SIZE,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Preview semantics (reference rest/server.go:204-274 handlePreview /
+    extractor ExtractByRule): apply an explicit rule literal to every row,
+    bypassing the rules-table lookup; rows where the selector matches nothing
+    fall back to the general parser exactly like the service does."""
+    df = with_host(transcripts)
+    df = df.withColumn("rule_content", F.lit(rule_selector))
+    df = df.withColumn("routed_cloudflare", F.lit(use_cloudflare))
+    return run_extraction(df, snippet_size, num_partitions)
+
+
 def _make_extract_batches(snippet_size: int):
     def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
