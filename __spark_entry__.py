@@ -335,6 +335,46 @@ def _q_ann_ivf(spark, sf_dir):
     return cosine_topk_bucketed(emb, queries, k=5, query_id_col="query_id")
 
 
+def _q_sibling_merge(spark, sf_dir):
+    """Sibling-merge path (go-readability getArticle R9): a qualifying body-
+    level <p> must be emitted BEFORE the best-candidate div."""
+    from ukeeper_readability_spark.data.synth import sibling_transcripts_sql
+
+    _register(spark, sf_dir, "documents")
+    trans = spark.sql(sibling_transcripts_sql("documents", "spark"))
+    joined = join_rules(trans, None)
+    out = run_extraction(joined, snippet_size=SNIPPET)
+    return out.select("conv_id", "turn_idx", "title", "content", "rich_content", "excerpt")
+
+
+def _oracle_sibling_merge() -> str:
+    from ukeeper_readability_spark.data.synth import (
+        SIBLING_SUFFIX,
+        sibling_parts_sql,
+        sibling_transcripts_sql,
+    )
+
+    d = sibling_parts_sql("duck")
+    # expected plain text: sibling paragraph first, then the two content
+    # paragraphs, newline-joined by sanitize then collapsed to single spaces
+    content = (
+        f"{d['p3']} || '{SIBLING_SUFFIX}' || ' ' || {d['p1']} || ' ' || {d['p2']}"
+    )
+    rich = (
+        f"'<div><p>' || {d['p3']} || '{SIBLING_SUFFIX}</p>"
+        f"<div><p>' || {d['p1']} || '</p><p>' || {d['p2']} || '</p></div></div>'"
+    )
+    return f"""
+        WITH t AS ({sibling_transcripts_sql('documents', 'duck')})
+        SELECT t.conv_id, t.turn_idx,
+               'Doc ' || doc_id AS title,
+               {content.replace('trim(text)', 'trim(d.text)')} AS content,
+               {rich.replace('trim(text)', 'trim(d.text)')} AS rich_content,
+               {excerpt_sql(content.replace('trim(text)', 'trim(d.text)'), SNIPPET)} AS excerpt
+        FROM t JOIN documents d USING (doc_id)
+    """
+
+
 def _q_preview_rule(spark, sf_dir):
     """handlePreview semantics: explicit rule literal over N documents
     (reference rest/server.go:204-274)."""
@@ -386,6 +426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_ivf_label": _q_ann_ivf,
         "multimodal_media_features": _q_media_features,
         "extract_preview_rule": _q_preview_rule,
+        "extract_sibling_merge": _q_sibling_merge,
     }
 
 
@@ -412,4 +453,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_ivf_label": _po.ann_sql(5, 50, bucketed=True),
         "multimodal_media_features": _po.media_features_sql(),
         "extract_preview_rule": _ORACLE_PREVIEW_RULE,
+        "extract_sibling_merge": _oracle_sibling_merge(),
     }

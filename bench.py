@@ -115,6 +115,33 @@ def main() -> None:
     # q2: golden-fixture articles (12-17 KB real HTML — the heavy path)
     run("extract_fixture_articles", paths["fixtures"], 128)
 
+    # q3/q4: training-data pipeline headliners (all-JVM operators)
+    from ukeeper_readability_spark.pipeline import (
+        cosine_topk_bruteforce,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(cpus * 2)
+    t0 = time.perf_counter()
+    npairs = minhash_lsh_pairs(docs, shingle_n=3, k=16, bands=4).count()
+    dt = time.perf_counter() - t0
+    n_docs = docs.count()
+    queries["dedup_minhash_lsh"] = round(dt, 3)
+    rates["dedup_minhash_lsh"] = round(n_docs / dt, 1)
+    turns["dedup_minhash_lsh"] = n_docs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(cpus * 2)
+    qs = emb.filter(F.col("vec_id") % 50 == 0).selectExpr(
+        "vec_id AS query_id", "embedding", "label"
+    )
+    t0 = time.perf_counter()
+    cosine_topk_bruteforce(emb, qs, k=10).count()
+    dt = time.perf_counter() - t0
+    n_emb = emb.count()
+    queries["ann_cosine_bruteforce"] = round(dt, 3)
+    rates["ann_cosine_bruteforce"] = round(n_emb / dt, 1)
+    turns["ann_cosine_bruteforce"] = n_emb
+
     total = sum(queries.values())
     result = {
         "metric": "extraction wall-clock (sum of headline queries)",

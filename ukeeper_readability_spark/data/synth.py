@@ -58,6 +58,63 @@ BOILERPLATE_WRAP_SQL = (
     "</body></html>'"
 )
 
+# ---------------------------------------------------------------------------
+# sibling-merge corpus: three paragraphs — two inside div.content, one as a
+# BODY-LEVEL SIBLING long enough (fixed suffix) to pass getArticle's p rule
+# (len ≥ 80 ∧ linkDensity < .25, go-readability readability.go:195-205), so the
+# expected rich output exercises the siblings-first-best-last emission order.
+# The word-slicing expressions differ by dialect (Spark slice(start, LENGTH) vs
+# DuckDB list_slice(start, END)); outputs are compared value-for-value by the
+# oracle gate, which catches any divergence.
+# ---------------------------------------------------------------------------
+
+SIBLING_SUFFIX = (
+    " and here is a deterministic long trailing sentence to pass the length gate."
+)
+
+_SIB_SPARK = {
+    "p1": "array_join(slice(split(trim(text), ' +'), 1, 20), ' ')",
+    "p2": "array_join(slice(split(trim(text), ' +'), 21, 10), ' ')",
+    "p3": "array_join(slice(split(trim(text), ' +'), 31, 15), ' ')",
+    "ntok": "size(split(trim(text), ' +'))",
+}
+_SIB_DUCK = {
+    "p1": "array_to_string(list_slice(string_split_regex(trim(text), ' +'), 1, 20), ' ')",
+    "p2": "array_to_string(list_slice(string_split_regex(trim(text), ' +'), 21, 30), ' ')",
+    "p3": "array_to_string(list_slice(string_split_regex(trim(text), ' +'), 31, 45), ' ')",
+    "ntok": "len(string_split_regex(trim(text), ' +'))",
+}
+
+
+def sibling_wrap_sql(dialect: str) -> str:
+    d = _SIB_SPARK if dialect == "spark" else _SIB_DUCK
+    return (
+        "'<html><head><title>Doc ' || doc_id || '</title></head><body>"
+        "<div class=\"content\"><p>' || {p1} || '</p><p>' || {p2} || '</p></div>"
+        "<p>' || {p3} || '{suffix}</p>"
+        "</body></html>'"
+    ).format(p1=d["p1"], p2=d["p2"], p3=d["p3"], suffix=SIBLING_SUFFIX)
+
+
+def sibling_parts_sql(dialect: str):
+    d = _SIB_SPARK if dialect == "spark" else _SIB_DUCK
+    return d
+
+
+def sibling_transcripts_sql(documents_rel: str, dialect: str) -> str:
+    d = _SIB_SPARK if dialect == "spark" else _SIB_DUCK
+    return f"""
+        SELECT {CONV_ID_SQL} AS conv_id,
+               {TURN_IDX_SQL} AS turn_idx,
+               'tool' AS role,
+               {sibling_wrap_sql(dialect)} AS text,
+               {URL_SQL} AS tool,
+               doc_id
+        FROM {documents_rel}
+        WHERE {CLEAN_TEXT_GUARD} AND {d["ntok"]} >= 45
+    """
+
+
 # expected excerpt for content == text at the default snippet size
 # (getSnippet semantics, extractor/text.go:43-55: first ≤300 runes, backtrack to
 # last space — it always drops the final partial word — then append " ...")
