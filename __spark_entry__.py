@@ -375,6 +375,34 @@ def _oracle_sibling_merge() -> str:
     """
 
 
+def _q_ordered_extraction(spark, sf_dir):
+    """Stable (conv_id, turn_idx) ordering invariant (north_rule / FIXTURES §3):
+    extraction output with a per-conversation sequence number — the window the
+    golden comparison sorts under."""
+    from pyspark.sql.window import Window
+
+    trans = _transcripts(spark, sf_dir, PLAIN_WRAP_SQL)
+    out = run_extraction(join_rules(trans, None), snippet_size=SNIPPET)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "content",
+        F.row_number().over(w).alias("seq"),
+        F.lag("turn_idx", 1).over(w).alias("prev_turn_idx"),
+    )
+
+
+_ORACLE_ORDERED = f"""
+    WITH t AS ({transcripts_from_documents_sql('documents', PLAIN_WRAP_SQL)})
+    SELECT t.conv_id, t.turn_idx,
+           d.text AS content,
+           CAST(row_number() OVER (PARTITION BY t.conv_id ORDER BY t.turn_idx) AS INT) AS seq,
+           lag(t.turn_idx, 1) OVER (PARTITION BY t.conv_id ORDER BY t.turn_idx) AS prev_turn_idx
+    FROM t JOIN documents d USING (doc_id)
+"""
+
+
 def _q_preview_rule(spark, sf_dir):
     """handlePreview semantics: explicit rule literal over N documents
     (reference rest/server.go:204-274)."""
@@ -427,6 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_media_features": _q_media_features,
         "extract_preview_rule": _q_preview_rule,
         "extract_sibling_merge": _q_sibling_merge,
+        "extract_ordered_window": _q_ordered_extraction,
     }
 
 
@@ -454,4 +483,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_media_features": _po.media_features_sql(),
         "extract_preview_rule": _ORACLE_PREVIEW_RULE,
         "extract_sibling_merge": _oracle_sibling_merge(),
+        "extract_ordered_window": _ORACLE_ORDERED,
     }

@@ -68,8 +68,12 @@ _WS = " \t\n\f"
 import re as _re
 
 _TAG_NAME_RE = _re.compile(r"[^\t\n\f />]*")
-_ATTR_NAME_RE = _re.compile(r"[^ \t\n\f=/>]+")
-_UNQUOTED_VAL_RE = _re.compile(r"[^ \t\n\f>]*")
+# whitespace + attr name + optional value (double/single-quoted or unquoted),
+# one C-level match per attribute
+_ATTR_FULL_RE = _re.compile(
+    r"[ \t\n\f]*([^ \t\n\f=/>]+)"
+    r"(?:[ \t\n\f]*=[ \t\n\f]*(?:\"([^\"]*)\"?|'([^']*)'?|([^ \t\n\f>]*)))?"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -188,9 +192,6 @@ def _scan_tag(s: str, i: int, n: int):
     self_closing = False
     while i < n:
         ch = s[i]
-        if ch in _WS:
-            i += 1
-            continue
         if ch == ">":
             i += 1
             break
@@ -201,33 +202,16 @@ def _scan_tag(s: str, i: int, n: int):
                 break
             i += 1
             continue
-        # attribute name
-        m = _ATTR_NAME_RE.match(s, i)
-        if m is None:  # stray '=' with no name — consume value, discard
-            aname = ""
-        else:
-            aname = m.group().lower()
-            i = m.end()
-        while i < n and s[i] in _WS:
+        m = _ATTR_FULL_RE.match(s, i)
+        if m is None or m.end() == i:
+            # whitespace-only run before '>' or a stray '=' — advance one
             i += 1
-        val = ""
-        if i < n and s[i] == "=":
-            i += 1
-            while i < n and s[i] in _WS:
-                i += 1
-            if i < n and s[i] in "\"'":
-                q = s[i]
-                i += 1
-                end = s.find(q, i)
-                if end == -1:
-                    end = n
-                val = s[i:end]
-                i = end + 1
-            else:
-                m = _UNQUOTED_VAL_RE.match(s, i)
-                val = m.group()
-                i = m.end()
-        if aname and aname not in seen:
+            continue
+        aname = m.group(1).lower()
+        g2, g3, g4 = m.group(2), m.group(3), m.group(4)
+        val = g2 if g2 is not None else (g3 if g3 is not None else (g4 or ""))
+        i = m.end()
+        if aname not in seen:
             seen.add(aname)
             attrs.append((aname, _unescape(val) if "&" in val else val))
     return name, attrs, self_closing, i
