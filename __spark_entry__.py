@@ -403,6 +403,42 @@ _ORACLE_ORDERED = f"""
 """
 
 
+def _q_charset_meta(spark, sf_dir):
+    """P1 charset report: http-equiv Content-Type meta overrides the default
+    (extractor/text.go:83-88); transcoding is a no-op on decoded text."""
+    from ukeeper_readability_spark.data.synth import CHARSET_WRAP_SQL
+
+    trans = _transcripts(spark, sf_dir, CHARSET_WRAP_SQL)
+    out = run_extraction(join_rules(trans, None), snippet_size=SNIPPET)
+    return out.select("conv_id", "turn_idx", "content", "type", "charset")
+
+
+def _oracle_charset_meta() -> str:
+    from ukeeper_readability_spark.data.synth import CHARSET_WRAP_SQL
+
+    return f"""
+        WITH t AS ({transcripts_from_documents_sql('documents', CHARSET_WRAP_SQL)})
+        SELECT t.conv_id, t.turn_idx, d.text AS content,
+               'text/html' AS type, 'windows-1251' AS charset
+        FROM t JOIN documents d USING (doc_id)
+    """
+
+
+def _q_rules_disable(spark, sf_dir):
+    """S8 soft delete: disable by id, never hard-delete (datastore/rules.go:90-93)."""
+    from ukeeper_readability_spark.jobs.rules_store import disable_rule
+
+    _register(spark, sf_dir, "nation")
+    rules = spark.sql(_BASE_RULES_SQL)
+    return disable_rule(rules, "rule-3").select("id", "domain", "enabled")
+
+
+_ORACLE_RULES_DISABLE = f"""
+    WITH rules AS ({_BASE_RULES_SQL})
+    SELECT id, domain, (enabled AND id <> 'rule-3') AS enabled FROM rules
+"""
+
+
 def _q_preview_rule(spark, sf_dir):
     """handlePreview semantics: explicit rule literal over N documents
     (reference rest/server.go:204-274)."""
@@ -456,6 +492,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_preview_rule": _q_preview_rule,
         "extract_sibling_merge": _q_sibling_merge,
         "extract_ordered_window": _q_ordered_extraction,
+        "extract_charset_meta": _q_charset_meta,
+        "rules_disable": _q_rules_disable,
     }
 
 
@@ -484,4 +522,6 @@ def oracle_sql() -> dict[str, str]:
         "extract_preview_rule": _ORACLE_PREVIEW_RULE,
         "extract_sibling_merge": _oracle_sibling_merge(),
         "extract_ordered_window": _ORACLE_ORDERED,
+        "extract_charset_meta": _oracle_charset_meta(),
+        "rules_disable": _ORACLE_RULES_DISABLE,
     }

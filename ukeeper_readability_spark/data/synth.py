@@ -115,6 +115,15 @@ def sibling_transcripts_sql(documents_rel: str, dialect: str) -> str:
     """
 
 
+# charset-report variant: declared windows-1251 via http-equiv meta — the P1
+# path (extractor/text.go:83-88); the text is already decoded so only the
+# REPORTED charset changes, matching the reference's windows-1251 fixture setup
+CHARSET_WRAP_SQL = (
+    "'<html><head><title>Doc ' || doc_id || '</title>"
+    "<meta http-equiv=\"Content-Type\" content=\"text/html; charset=windows-1251\">"
+    "</head><body><div class=\"content\"><p>' || text || '</p></div></body></html>'"
+)
+
 # expected excerpt for content == text at the default snippet size
 # (getSnippet semantics, extractor/text.go:43-55: first ≤300 runes, backtrack to
 # last space — it always drops the final partial word — then append " ...")
