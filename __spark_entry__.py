@@ -464,6 +464,26 @@ def _q_media_features(spark, sf_dir):
     return media_features(media, num_partitions=8)
 
 
+def _q_embedding_near_dup(spark, sf_dir):
+    from ukeeper_readability_spark.pipeline import embedding_near_duplicates
+
+    _register(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(spark.table("embeddings"), threshold=0.35)
+
+
+_ORACLE_EMBEDDING_NEAR_DUP = """
+    SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                 sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.35
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: boilerplate-strip extraction over sf0.001 (driver smoke)."""
     return _q_extract(BOILERPLATE_WRAP_SQL)(spark, "/root/testdata/sf0.001")
@@ -489,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_bruteforce": _q_ann_brute,
         "ann_cosine_ivf_label": _q_ann_ivf,
         "multimodal_media_features": _q_media_features,
+        "dedup_embedding_cosine": _q_embedding_near_dup,
         "extract_preview_rule": _q_preview_rule,
         "extract_sibling_merge": _q_sibling_merge,
         "extract_ordered_window": _q_ordered_extraction,
@@ -519,6 +540,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_bruteforce": _po.ann_sql(5, 50, bucketed=False),
         "ann_cosine_ivf_label": _po.ann_sql(5, 50, bucketed=True),
         "multimodal_media_features": _po.media_features_sql(),
+        "dedup_embedding_cosine": _ORACLE_EMBEDDING_NEAR_DUP,
         "extract_preview_rule": _ORACLE_PREVIEW_RULE,
         "extract_sibling_merge": _oracle_sibling_merge(),
         "extract_ordered_window": _ORACLE_ORDERED,

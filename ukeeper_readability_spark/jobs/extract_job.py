@@ -50,6 +50,7 @@ def get_spark(
     b = SparkSession.builder.appName(app_name)
     if master:
         b = b.master(master)
+    b = b.config("spark.ui.showConsoleProgress", "false")
     b = b.config("spark.sql.adaptive.enabled", "true")
     b = b.config("spark.sql.execution.arrow.pyspark.enabled", "true")
     # ~2 MB arrow batches for 10-20 KB HTML payloads: the default 10k-row

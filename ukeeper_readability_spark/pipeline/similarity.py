@@ -75,6 +75,45 @@ def cosine_topk_bruteforce(
     )
 
 
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b) within coarse buckets.
+
+    The scale path for embedding dedup: one shuffle on the bucket key bounds the
+    pair space to within-bucket; cross-bucket near-dups are by construction
+    below the quantizer's resolution (standard IVF dedup trade-off).
+    """
+    a = embeddings.select(
+        F.col(id_col).alias("doc_a"),
+        F.col(vec_col).alias("avec"),
+        F.col(bucket_col).alias("bucket"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("doc_b"),
+        F.col(vec_col).alias("bvec"),
+        F.col(bucket_col).alias("bucket"),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                _dot(F.col("avec"), F.col("bvec"))
+                / (_norm(F.col("avec")) * _norm(F.col("bvec"))),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def cosine_topk_bucketed(
     embeddings: DataFrame,
     queries: DataFrame,
