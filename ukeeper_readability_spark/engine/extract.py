@@ -16,7 +16,7 @@ from urllib.parse import urlsplit
 from ..htmldom import find_all, inner_html, parse
 from .links import normalize_links
 from .pics import extract_pics
-from .readability import Document
+from .readability import Document, preprocessing_is_identity
 from .sanitize_text import (
     detect_type_charset,
     first_title_text,
@@ -31,8 +31,8 @@ class ExtractError(Exception):
     pass
 
 
-def _general_parser(body: str):
-    doc = Document(body)
+def _general_parser(body: str, preparsed=None):
+    doc = Document(body, preparsed=preparsed)
     content, rich = doc.content_with_html()
     return content, rich, doc.stats
 
@@ -54,11 +54,15 @@ def _custom_parser(raw_doc, rule_selector: str):
     return get_text(joined, ""), joined
 
 
-def get_content(body: str, rule_selector: Optional[str], raw_doc=None):
+def get_content(body: str, rule_selector: Optional[str], raw_doc=None, donate_raw_doc=False):
     """getContent (readability.go:168-208): custom rule first, fallback general.
 
     Returns (content, rich, meta) where meta carries per-document extraction
     metrics (rule_hit / general_parse / Document.stats counters).
+
+    donate_raw_doc=True lets the general parser take ownership of raw_doc
+    (mutating it) when R1 preprocessing provably wouldn't change `body` —
+    callers must not read raw_doc afterwards.
     """
     if rule_selector:
         if raw_doc is None:
@@ -68,7 +72,10 @@ def get_content(body: str, rule_selector: Optional[str], raw_doc=None):
             return content, rich, {"rule_hit": 1, "general_parse": 0}
         except ExtractError:
             pass
-    content, rich, stats = _general_parser(body)
+    preparsed = None
+    if donate_raw_doc and raw_doc is not None and preprocessing_is_identity(body):
+        preparsed = raw_doc
+    content, rich, stats = _general_parser(body, preparsed=preparsed)
     meta = {"rule_hit": 0, "general_parse": 1}
     meta.update(stats)
     return content, rich, meta
@@ -91,8 +98,13 @@ def extract_document(
     raw_doc = parse(body)
 
     content_type, charset = detect_type_charset(raw_doc, header_content_type)
-    content, rich, meta = get_content(body, rule_selector, raw_doc=raw_doc)
+    # title read before get_content: the general parser may take ownership of
+    # raw_doc and mutate it; reading first yields the same value the reference
+    # gets from its own fresh parse (extractor/readability.go:135-140)
     title = first_title_text(raw_doc)
+    content, rich, meta = get_content(
+        body, rule_selector, raw_doc=raw_doc, donate_raw_doc=True
+    )
 
     try:
         domain = urlsplit(url).netloc

@@ -81,7 +81,12 @@ class Candidate:
 class Document:
     """Port of go-readability Document (readability.go:46-145)."""
 
-    def __init__(self, input_html: str):
+    def __init__(self, input_html: str, preparsed: Node = None):
+        """`preparsed` may hand over an existing parse of input_html when the
+        R1 preprocessing regexes (br-runs, font tags, comments) provably do not
+        modify the input — the caller's tree then IS what _initialize_html
+        would build, and we may take ownership (we mutate it). Retries always
+        re-parse from the original string."""
         self.input = input_html
         self.document: Node = None  # document root
         self.content = ""
@@ -100,7 +105,10 @@ class Document:
         self.remove_empty_nodes = True
         self.whitelist_tags = ("div", "p")
 
-        self._initialize_html(input_html)
+        if preparsed is not None:
+            self.document = preparsed
+        else:
+            self._initialize_html(input_html)
 
     # R1 — initializeHtml (readability.go:82-105)
     def _initialize_html(self, s: str) -> None:
@@ -401,6 +409,16 @@ class Document:
                 if remove:
                     self.stats["candidates_rejected"] += 1
                     _remove_node(nd)
+
+
+def preprocessing_is_identity(s: str) -> bool:
+    """True when R1's three regex substitutions cannot change `s` — then a
+    plain parse(s) equals _initialize_html's tree and may be shared."""
+    return (
+        RE_REPLACE_BRS.search(s) is None
+        and RE_REPLACE_FONTS.search(s) is None
+        and RE_STRIP_COMMENT.search(s) is None
+    )
 
 
 _BLOCK_LEVEL = frozenset("a blockquote dl div img ol p pre table ul".split())

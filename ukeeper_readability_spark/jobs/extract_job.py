@@ -128,51 +128,69 @@ def extract_by_rule(
 
 def _make_extract_batches(snippet_size: int):
     def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {k: [] for k in (
-                "conv_id", "turn_idx", "content", "rich_content", "domain", "url",
-                "title", "excerpt", "lead_image_url", "images", "links", "type",
-                "charset", "routed_cloudflare", "m_nodes_scored",
-                "m_candidates_rejected", "m_bytes_stripped", "m_rule_hit",
-                "m_general_parse", "m_retries_relaxed",
-            )}
-            texts = pdf["text"].values
-            tools = pdf["tool"].values
-            rules_col = pdf["rule_content"].values
-            routed = pdf["routed_cloudflare"].values
-            convs = pdf["conv_id"].values
-            turns = pdf["turn_idx"].values
-            for i in range(len(pdf)):
-                r = extract_document(
-                    texts[i] if texts[i] is not None else "",
-                    tools[i] if tools[i] is not None else "",
-                    rule_selector=rules_col[i] if rules_col[i] else None,
-                    snippet_size=snippet_size,
-                )
-                m = r["metrics"]
-                out["conv_id"].append(convs[i])
-                out["turn_idx"].append(turns[i])
-                out["content"].append(r["content"])
-                out["rich_content"].append(r["rich_content"])
-                out["domain"].append(r["domain"])
-                out["url"].append(r["url"])
-                out["title"].append(r["title"])
-                out["excerpt"].append(r["excerpt"])
-                out["lead_image_url"].append(r["lead_image_url"])
-                out["images"].append(r["images"])
-                out["links"].append(r["links"])
-                out["type"].append(r["type"])
-                out["charset"].append(r["charset"])
-                out["routed_cloudflare"].append(bool(routed[i]))
-                out["m_nodes_scored"].append(m["nodes_scored"])
-                out["m_candidates_rejected"].append(m["candidates_rejected"])
-                out["m_bytes_stripped"].append(m["bytes_stripped"])
-                out["m_rule_hit"].append(m["rule_hit"])
-                out["m_general_parse"].append(m["general_parse"])
-                out["m_retries_relaxed"].append(m["retries_relaxed"])
-            yield pd.DataFrame(out)
+        # DOM trees are parent/child reference cycles; threshold-based GC
+        # thrashes on them (~10% of extraction time). Collect once per Arrow
+        # batch instead — bounded memory, no mid-document pauses.
+        import gc
+
+        gc_was_enabled = gc.isenabled()
+        gc.disable()
+        try:
+            yield from _extract_batches_inner(batches, snippet_size)
+        finally:
+            if gc_was_enabled:
+                gc.enable()
 
     return extract_batches
+
+
+def _extract_batches_inner(batches: Iterator[pd.DataFrame], snippet_size: int):
+    import gc
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "conv_id", "turn_idx", "content", "rich_content", "domain", "url",
+            "title", "excerpt", "lead_image_url", "images", "links", "type",
+            "charset", "routed_cloudflare", "m_nodes_scored",
+            "m_candidates_rejected", "m_bytes_stripped", "m_rule_hit",
+            "m_general_parse", "m_retries_relaxed",
+        )}
+        texts = pdf["text"].values
+        tools = pdf["tool"].values
+        rules_col = pdf["rule_content"].values
+        routed = pdf["routed_cloudflare"].values
+        convs = pdf["conv_id"].values
+        turns = pdf["turn_idx"].values
+        for i in range(len(pdf)):
+            r = extract_document(
+                texts[i] if texts[i] is not None else "",
+                tools[i] if tools[i] is not None else "",
+                rule_selector=rules_col[i] if rules_col[i] else None,
+                snippet_size=snippet_size,
+            )
+            m = r["metrics"]
+            out["conv_id"].append(convs[i])
+            out["turn_idx"].append(turns[i])
+            out["content"].append(r["content"])
+            out["rich_content"].append(r["rich_content"])
+            out["domain"].append(r["domain"])
+            out["url"].append(r["url"])
+            out["title"].append(r["title"])
+            out["excerpt"].append(r["excerpt"])
+            out["lead_image_url"].append(r["lead_image_url"])
+            out["images"].append(r["images"])
+            out["links"].append(r["links"])
+            out["type"].append(r["type"])
+            out["charset"].append(r["charset"])
+            out["routed_cloudflare"].append(bool(routed[i]))
+            out["m_nodes_scored"].append(m["nodes_scored"])
+            out["m_candidates_rejected"].append(m["candidates_rejected"])
+            out["m_bytes_stripped"].append(m["bytes_stripped"])
+            out["m_rule_hit"].append(m["rule_hit"])
+            out["m_general_parse"].append(m["general_parse"])
+            out["m_retries_relaxed"].append(m["retries_relaxed"])
+        yield pd.DataFrame(out)
+        gc.collect()
 
 
 def run_extraction(
