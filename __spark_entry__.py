@@ -464,6 +464,74 @@ def _q_media_features(spark, sf_dir):
     return media_features(media, num_partitions=8)
 
 
+# PII-injected corpus for the redaction operator (documents have no PII)
+_PII_CORPUS_SQL = """
+    SELECT doc_id,
+           text || ' contact bob' || doc_id || '@example.com or call'
+                || ' +1 (555) 010-' || (1000 + doc_id)
+                || ' see https://ex.com/d/' || doc_id || ' end' AS text
+    FROM documents
+"""
+
+
+def _q_redact_pii(spark, sf_dir):
+    from ukeeper_readability_spark.pipeline.text_analysis import redact_pii
+
+    _register(spark, sf_dir, "documents")
+    return redact_pii(spark.sql(_PII_CORPUS_SQL))
+
+
+def _oracle_redact_pii() -> str:
+    from ukeeper_readability_spark.pipeline.text_analysis import (
+        PII_EMAIL_RE,
+        PII_PHONE_RE,
+        PII_URL_RE,
+    )
+
+    # backslashes are literal inside standard SQL string literals, so the
+    # python regex values embed directly
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{PII_URL_RE}', '<URL>', 'g'), "
+        f"'{PII_EMAIL_RE}', '<EMAIL>', 'g'), "
+        f"'{PII_PHONE_RE}', '<PHONE>', 'g')"
+    )
+    return f"""
+        WITH c AS ({_PII_CORPUS_SQL})
+        SELECT doc_id, {red} AS redacted,
+               CAST(length(text) - length({red}) AS BIGINT) AS chars_redacted
+        FROM c
+    """
+
+
+def _q_sessionize(spark, sf_dir):
+    """Gap-based sessionization over the events table (batch window analogue
+    of stateful streaming; SURVEY §7 keeps this engine batch-only)."""
+    from ukeeper_readability_spark.pipeline.sessions import sessionize
+
+    _register(spark, sf_dir, "events")
+    out = sessionize(spark.table("events"), gap_minutes=30)
+    return out.withColumn("session_seq", F.col("session_seq").cast("long"))
+
+
+_ORACLE_SESSIONIZE = """
+    WITH o AS (
+        SELECT user_id, event_id, ts, value,
+               floor(epoch(ts)) - lag(floor(epoch(ts))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events
+    ),
+    m AS (SELECT *, CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS news FROM o),
+    s AS (SELECT *, sum(news) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq FROM m)
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           count(*) AS n_events,
+           CAST(floor(min(epoch(ts))) AS BIGINT) AS first_ts_epoch,
+           CAST(floor(max(epoch(ts))) AS BIGINT) AS last_ts_epoch,
+           round(sum(value), 6) AS total_value
+    FROM s GROUP BY user_id, session_seq
+"""
+
+
 def _q_embedding_near_dup(spark, sf_dir):
     from ukeeper_readability_spark.pipeline import embedding_near_duplicates
 
@@ -510,6 +578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_ivf_label": _q_ann_ivf,
         "multimodal_media_features": _q_media_features,
         "dedup_embedding_cosine": _q_embedding_near_dup,
+        "text_redact_pii": _q_redact_pii,
+        "events_sessionize": _q_sessionize,
         "extract_preview_rule": _q_preview_rule,
         "extract_sibling_merge": _q_sibling_merge,
         "extract_ordered_window": _q_ordered_extraction,
@@ -541,6 +611,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_ivf_label": _po.ann_sql(5, 50, bucketed=True),
         "multimodal_media_features": _po.media_features_sql(),
         "dedup_embedding_cosine": _ORACLE_EMBEDDING_NEAR_DUP,
+        "text_redact_pii": _oracle_redact_pii(),
+        "events_sessionize": _ORACLE_SESSIONIZE,
         "extract_preview_rule": _ORACLE_PREVIEW_RULE,
         "extract_sibling_merge": _oracle_sibling_merge(),
         "extract_ordered_window": _ORACLE_ORDERED,

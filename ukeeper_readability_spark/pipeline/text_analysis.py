@@ -90,6 +90,28 @@ def quality_score(docs: DataFrame, text_col: str = "text", key_col: str = "doc_i
     )
 
 
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "\\+?[0-9][0-9()\\-. ]{7,}[0-9]"
+PII_URL_RE = "https?://[^ ]+"
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Training-data scrubbing: mask emails, URLs and phone-like sequences.
+
+    Pure regexp_replace chain (JVM-side); order matters — URLs first so their
+    digit runs aren't half-eaten by the phone pattern.
+    """
+    t = F.col(text_col)
+    t = F.regexp_replace(t, PII_URL_RE, "<URL>")
+    t = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    t = F.regexp_replace(t, PII_PHONE_RE, "<PHONE>")
+    return docs.select(
+        F.col(key_col).alias("doc_id"),
+        t.alias("redacted"),
+        (F.length(F.col(text_col)) - F.length(t)).cast("long").alias("chars_redacted"),
+    )
+
+
 def fingerprint(
     docs: DataFrame,
     text_col: str = "text",
