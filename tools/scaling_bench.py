@@ -31,6 +31,7 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     # the job's scalability
     env.setdefault("SPARK_GRAFT_BENCH_COPIES", "24")
     env.setdefault("SPARK_GRAFT_BENCH_FIXTURE_TURNS", "24000")
+    env.setdefault("SPARK_GRAFT_BENCH_SKIP_PIPELINE", "1")
     out = subprocess.run(
         prefix + [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True,

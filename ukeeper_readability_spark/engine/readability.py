@@ -92,6 +92,7 @@ class Document:
         self.content = ""
         self.candidates: dict = {}  # id(node) -> Candidate (node ref kept alive)
         self.best_candidate: Candidate = None
+        self._last_article = None  # rich-HTML cache for content_with_html
 
         # extraction metrics (north_rule: nodes scored / candidates rejected /
         # retries), accumulated across retry rounds
@@ -122,10 +123,17 @@ class Document:
 
     # --- public API ---------------------------------------------------------
     def content_with_html(self):
-        """ContentWithHTML (readability.go:107-140)."""
+        """ContentWithHTML (readability.go:107-140).
+
+        The reference calls getArticle() again for the rich return value
+        (line 139); since sanitize() works on its own re-parse, self.document
+        and self.candidates are unchanged between the two calls, so the cached
+        string is byte-identical — we skip the recomputation.
+        """
         if self.content == "":
             self._prepare_candidates()
             article = self._get_article()
+            self._last_article = article
             article_text = self._sanitize(article)
 
             length = _trim_bytes_len(article_text)
@@ -148,7 +156,9 @@ class Document:
 
             self.content = article_text
 
-        return self.content, self._get_article()
+        if self._last_article is None:
+            self._last_article = self._get_article()
+        return self.content, self._last_article
 
     # --- candidate preparation (readability.go:147-160) ---------------------
     def _prepare_candidates(self):
