@@ -164,9 +164,42 @@ def _iter_descendants(root: Node):
     return out
 
 
+_TAG_ONLY_CACHE: dict = {}
+
+
+def _tag_only_set(chains, key):
+    """If every chain is a single tag-only simple selector, return the tag set."""
+    if key in _TAG_ONLY_CACHE:
+        return _TAG_ONLY_CACHE[key]
+    tags = set()
+    for ch in chains:
+        if len(ch.parts) != 1:
+            tags = None
+            break
+        simple = ch.parts[0][1]
+        if simple.tag is None or simple.id is not None or simple.classes:
+            tags = None
+            break
+        tags.add(simple.tag)
+    if len(_TAG_ONLY_CACHE) < 4096:
+        _TAG_ONLY_CACHE[key] = tags
+    return tags
+
+
 def find_all(root: Node, selector) -> list:
     """goquery Find(): matching element descendants, document order, snapshot."""
-    chains = compile_selector(selector) if isinstance(selector, str) else selector
+    if isinstance(selector, str):
+        chains = compile_selector(selector)
+        tags = _tag_only_set(chains, selector)
+    else:
+        chains = selector
+        tags = None
+    if tags is not None:
+        # fast path: plain tag-set selectors ("p,td", "div", "script,style,…")
+        return [
+            n for n in _iter_descendants(root)
+            if n.type == ELEMENT_NODE and n.data in tags
+        ]
     result = []
     for n in _iter_descendants(root):
         if n.type != ELEMENT_NODE:
