@@ -14,6 +14,7 @@ from typing import Optional
 from urllib.parse import urlsplit
 
 from ..htmldom import find_all, inner_html, parse
+from ..htmldom.parser import parse_head
 from .links import normalize_links
 from .pics import extract_pics
 from .readability import Document, preprocessing_is_identity
@@ -92,18 +93,29 @@ def extract_document(
     body = text if text is not None else ""
     url = url or ""
 
-    # one raw-body parse shared by the charset report, title extraction, and the
-    # custom-rule parser (all read-only; the reference parses the same string
-    # three times — extractor/text.go:78, readability.go:135, readability.go:182)
-    raw_doc = parse(body)
+    # Raw-body parse strategy (all read-only before mutation; the reference
+    # parses the same string three times — extractor/text.go:78,
+    # readability.go:135, readability.go:182):
+    #   rule present          → full parse (selector needs the body)
+    #   preprocessing no-op   → full parse, donated to the general parser
+    #   otherwise             → head-only parse (complete for Find("head meta")
+    #     and for head titles; full-parse fallback for the title-in-body case)
+    if rule_selector or preprocessing_is_identity(body):
+        raw_doc = parse(body)
+        donate = True  # full tree; general parser may take it when identity holds
+    else:
+        raw_doc = parse_head(body)
+        donate = False
 
     content_type, charset = detect_type_charset(raw_doc, header_content_type)
     # title read before get_content: the general parser may take ownership of
     # raw_doc and mutate it; reading first yields the same value the reference
     # gets from its own fresh parse (extractor/readability.go:135-140)
     title = first_title_text(raw_doc)
+    if not title and not donate and not rule_selector and "<title" in body.lower():
+        title = first_title_text(parse(body))
     content, rich, meta = get_content(
-        body, rule_selector, raw_doc=raw_doc, donate_raw_doc=True
+        body, rule_selector, raw_doc=raw_doc, donate_raw_doc=donate
     )
 
     try:

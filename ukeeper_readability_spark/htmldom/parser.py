@@ -595,10 +595,25 @@ def parse(s: str) -> Node:
     """Parse an HTML string into a document Node (always has html/head/body)."""
     tb = _TreeBuilder()
     for tok in _tokenize(s):
-        if tb.phase == tb.INITIAL and tok[0] == TOK_START and tok[1] not in ("html", "head") and tok[1] not in HEAD_ELEMENTS:
-            # fall through to normal handling (body synthesis happens inside)
-            pass
         tb.process(*tok)
+    tb._ensure_body()
+    return tb.doc
+
+
+def parse_head(s: str) -> Node:
+    """Parse only up to the start of body content.
+
+    The resulting document has a COMPLETE head (title, metas) but an empty or
+    partial body — enough for the charset report (Find("head meta")) and for
+    title extraction when the page titles its head like every real page;
+    callers must fall back to parse() when no title is found but '<title'
+    occurs in the input (title-in-body pathology).
+    """
+    tb = _TreeBuilder()
+    for tok in _tokenize(s):
+        tb.process(*tok)
+        if tb.phase == tb.IN_BODY:
+            break
     tb._ensure_body()
     return tb.doc
 
