@@ -58,6 +58,22 @@ P_CLOSERS = frozenset(
 )
 
 HEADINGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
+
+# active formatting elements (HTML5 §13.2.4.3) — misnesting of these runs the
+# adoption agency algorithm, like x/net/html
+FORMATTING = frozenset("a b big code em font i nobr s small strike strong tt u".split())
+# markers scope formatting reconstruction
+AFE_MARKER_TAGS = frozenset(("applet", "marquee", "object", "template"))
+# start tags whose "in body" handling does NOT reconstruct formatting
+NO_RECONSTRUCT = frozenset(
+    (
+        "address article aside blockquote center details dialog dir div dl fieldset figcaption "
+        "figure footer header hgroup main menu nav ol p section summary ul "
+        "h1 h2 h3 h4 h5 h6 pre listing form li dd dt plaintext table hr textarea "
+        "script style title noscript head html body frameset caption col colgroup "
+        "tbody td tfoot th thead tr image"
+    ).split()
+)
 IMPLIED_END = frozenset("dd dt li optgroup option p rb rp rt rtc".split())
 SCOPE_BOUNDARY = frozenset("applet caption html table td th marquee object template".split())
 TABLE_SECTIONS = frozenset(("tbody", "thead", "tfoot"))
@@ -223,7 +239,7 @@ def _scan_tag(s: str, i: int, n: int):
 
 
 class _TreeBuilder:
-    __slots__ = ("doc", "html", "head", "body", "stack", "phase")
+    __slots__ = ("doc", "html", "head", "body", "stack", "phase", "afe")
 
     # phases
     INITIAL = 0
@@ -238,6 +254,8 @@ class _TreeBuilder:
         self.body = None
         self.stack = []  # open elements
         self.phase = self.INITIAL
+        # active formatting elements: [node, name, attrs] entries or None markers
+        self.afe = []
 
     # -- skeleton ----------------------------------------------------------
     def _ensure_html(self, attrs=None):
@@ -271,6 +289,8 @@ class _TreeBuilder:
             parent.append_child(Node(TEXT_NODE, text))
 
     def _insert_text(self, text: str):
+        if self.afe:
+            self._reconstruct_afe()
         cur = self._current()
         if cur.data in TABLE_CONTEXT and text.strip(" \t\n\f"):
             # foster parenting for non-whitespace text in table context
@@ -333,6 +353,176 @@ class _TreeBuilder:
         if push:
             self.stack.append(el)
         return el
+
+    # -- active formatting elements (HTML5 §13.2.4.3, §13.2.6.4.7) ------------
+    def _afe_push(self, node: Node, name: str, attrs):
+        # Noah's Ark: at most 3 identical (name, attrs) entries after the last
+        # marker; remove the earliest
+        count = 0
+        earliest = None
+        for i in range(len(self.afe) - 1, -1, -1):
+            e = self.afe[i]
+            if e is None:
+                break
+            if e[1] == name and e[2] == attrs:
+                count += 1
+                earliest = i
+        if count >= 3 and earliest is not None:
+            self.afe.pop(earliest)
+        self.afe.append([node, name, attrs])
+
+    def _reconstruct_afe(self):
+        afe = self.afe
+        if not afe:
+            return
+        last = afe[-1]
+        if last is None or last[0] in self.stack:
+            return
+        i = len(afe) - 1
+        # rewind to the entry after the last marker/open element
+        while i > 0:
+            e = afe[i - 1]
+            if e is None or e[0] in self.stack:
+                break
+            i -= 1
+        # re-create from entry i onward
+        while i < len(afe):
+            node, name, attrs = afe[i]
+            clone = Node(ELEMENT_NODE, name, list(attrs))
+            self._current().append_child(clone)
+            self.stack.append(clone)
+            afe[i] = [clone, name, attrs]
+            i += 1
+
+    def _afe_clear_to_marker(self):
+        while self.afe:
+            if self.afe.pop() is None:
+                return
+
+    def _node_in_scope(self, target: Node) -> bool:
+        for nd in reversed(self.stack):
+            if nd is target:
+                return True
+            if nd.data in SCOPE_BOUNDARY:
+                return False
+        return False
+
+    def _adoption_agency(self, subject: str):
+        """HTML5 §13.2.6.4.7 'adoption agency algorithm' (matches x/net/html)."""
+        # fast path: current node is the subject and has no AFE entry
+        cur = self.stack[-1] if self.stack else None
+        if (
+            cur is not None
+            and cur.data == subject
+            and not any(e is not None and e[0] is cur for e in self.afe)
+        ):
+            self.stack.pop()
+            return
+
+        for _outer in range(8):
+            fmt_idx = None
+            for i in range(len(self.afe) - 1, -1, -1):
+                if self.afe[i] is None:
+                    break
+                if self.afe[i][1] == subject:
+                    fmt_idx = i
+                    break
+            if fmt_idx is None:
+                self._any_other_end_tag(subject)
+                return
+            fmt_el = self.afe[fmt_idx][0]
+            if fmt_el not in self.stack:
+                self.afe.pop(fmt_idx)
+                return
+            if not self._node_in_scope(fmt_el):
+                return
+
+            si = self.stack.index(fmt_el)
+            furthest = None
+            fb_idx = None
+            for j in range(si + 1, len(self.stack)):
+                if self.stack[j].data in SPECIAL:
+                    furthest = self.stack[j]
+                    fb_idx = j
+                    break
+            if furthest is None:
+                del self.stack[si:]
+                self.afe.pop(fmt_idx)
+                return
+
+            common_ancestor = self.stack[si - 1] if si > 0 else self.body
+            bookmark = fmt_idx
+            node_idx = fb_idx
+            last_node = furthest
+            inner = 0
+            while True:
+                inner += 1
+                node_idx -= 1
+                node = self.stack[node_idx]
+                if node is fmt_el:
+                    break
+                ni = None
+                for i2 in range(len(self.afe) - 1, -1, -1):
+                    e = self.afe[i2]
+                    if e is not None and e[0] is node:
+                        ni = i2
+                        break
+                if inner > 3 and ni is not None:
+                    self.afe.pop(ni)
+                    if ni < bookmark:
+                        bookmark -= 1
+                    ni = None
+                if ni is None:
+                    self.stack.pop(node_idx)
+                    continue
+                entry_attrs = self.afe[ni][2]
+                clone = Node(ELEMENT_NODE, node.data, list(entry_attrs))
+                self.afe[ni] = [clone, node.data, entry_attrs]
+                self.stack[node_idx] = clone
+                node = clone
+                if last_node is furthest:
+                    bookmark = ni + 1
+                if last_node.parent is not None:
+                    last_node.parent.remove_child(last_node)
+                node.append_child(last_node)
+                last_node = node
+
+            if last_node.parent is not None:
+                last_node.parent.remove_child(last_node)
+            if common_ancestor.data in TABLE_CONTEXT:
+                fparent, before = self._foster_target()
+                fparent.insert_before(last_node, before)
+            else:
+                common_ancestor.append_child(last_node)
+
+            entry_attrs = self.afe[fmt_idx][2]
+            clone = Node(ELEMENT_NODE, fmt_el.data, list(entry_attrs))
+            c = furthest.first_child
+            while c is not None:
+                nxt = c.next_sibling
+                furthest.remove_child(c)
+                clone.append_child(c)
+                c = nxt
+            furthest.append_child(clone)
+
+            self.afe.pop(fmt_idx)
+            if fmt_idx < bookmark:
+                bookmark -= 1
+            self.afe.insert(bookmark, [clone, fmt_el.data, entry_attrs])
+
+            self.stack.remove(fmt_el)
+            self.stack.insert(self.stack.index(furthest) + 1, clone)
+
+    def _any_other_end_tag(self, name: str):
+        for idx in range(len(self.stack) - 1, -1, -1):
+            nd = self.stack[idx]
+            if nd.data == name:
+                self._generate_implied_end(name)
+                while len(self.stack) > idx:
+                    self.stack.pop()
+                return
+            if nd.data in SPECIAL:
+                return
 
     # -- token dispatch --------------------------------------------------------
     def process(self, kind, data, attrs, self_closing):
@@ -434,14 +624,30 @@ class _TreeBuilder:
             self._close_list_item(("dd", "dt"))
             self._close_p()
         elif name == "a":
-            if self._in_scope("a"):
-                self._pop_until("a")
+            # spec: an open <a> in the formatting list runs the adoption agency
+            for i in range(len(self.afe) - 1, -1, -1):
+                e = self.afe[i]
+                if e is None:
+                    break
+                if e[1] == "a":
+                    self._adoption_agency("a")
+                    if e in self.afe:
+                        self.afe.remove(e)
+                    if e[0] in self.stack:
+                        self.stack.remove(e[0])
+                    break
+        elif name == "nobr":
+            if self._in_scope("nobr"):
+                self._adoption_agency("nobr")
         elif name == "option":
             if self.stack and self.stack[-1].data == "option":
                 self.stack.pop()
         elif name == "optgroup":
             while self.stack and self.stack[-1].data in ("option", "optgroup"):
                 self.stack.pop()
+
+        if self.afe and name not in NO_RECONSTRUCT:
+            self._reconstruct_afe()
 
         if name in VOID_ELEMENTS:
             self._insert_element(name, attrs, push=False, foster=True)
@@ -450,7 +656,11 @@ class _TreeBuilder:
             self._insert_element(name, attrs, push=not self_closing, foster=True)
             return
         # NB: per spec the self-closing flag is ignored on normal HTML elements
-        self._insert_element(name, attrs, push=True, foster=True)
+        el = self._insert_element(name, attrs, push=True, foster=True)
+        if name in FORMATTING:
+            self._afe_push(el, name, el.attrs)
+        elif name in ("applet", "marquee", "object"):
+            self.afe.append(None)  # marker
 
     def _close_list_item(self, names):
         for nd in reversed(list(self.stack)):
@@ -508,6 +718,7 @@ class _TreeBuilder:
             if self.stack[-1].data != "tr":
                 self._insert_element("tr", None, push=True)
             self._insert_element(name, attrs, push=True)
+            self.afe.append(None)  # marker (cells scope formatting)
             return
 
     # -- end tags ------------------------------------------------------------
@@ -535,7 +746,18 @@ class _TreeBuilder:
             return
         if name == "br":
             # spec: </br> acts as <br> start tag
+            if self.afe:
+                self._reconstruct_afe()
             self._insert_element("br", None, push=False, foster=True)
+            return
+        if name in FORMATTING:
+            self._adoption_agency(name)
+            return
+        if name in ("applet", "marquee", "object"):
+            if self._in_scope(name):
+                self._generate_implied_end()
+                self._pop_until(name)
+                self._afe_clear_to_marker()
             return
         if name == "p":
             if not self._in_scope("p", extra_boundary=("button",)):
@@ -553,6 +775,7 @@ class _TreeBuilder:
             if self._in_scope(name):
                 self._generate_implied_end()
                 self._pop_until(name)
+                self._afe_clear_to_marker()
             return
         if name == "tr":
             if self._in_scope("tr"):
@@ -578,17 +801,7 @@ class _TreeBuilder:
                 self._generate_implied_end(name)
                 self._pop_until(name)
             return
-        # any other end tag
-        for idx in range(len(self.stack) - 1, -1, -1):
-            nd = self.stack[idx]
-            if nd.data == name:
-                self._generate_implied_end(name)
-                # pop until nd popped
-                while len(self.stack) > idx:
-                    self.stack.pop()
-                return
-            if nd.data in SPECIAL:
-                return
+        self._any_other_end_tag(name)
 
 
 def parse(s: str) -> Node:
