@@ -64,6 +64,50 @@ HEADINGS = frozenset(("h1", "h2", "h3", "h4", "h5", "h6"))
 FORMATTING = frozenset("a b big code em font i nobr s small strike strong tt u".split())
 # markers scope formatting reconstruction
 AFE_MARKER_TAGS = frozenset(("applet", "marquee", "object", "template"))
+# foreign content (SVG/MathML, HTML5 §13.2.6.5): inside <svg>/<math> the
+# self-closing flag is honored for every tag, SVG names are case-adjusted, and
+# certain HTML tags break out of the foreign subtree
+FOREIGN_BREAKOUT = frozenset(
+    (
+        "b big blockquote body br center code dd div dl dt em embed h1 h2 h3 h4 h5 h6 "
+        "head hr i img li listing menu meta nobr ol p pre ruby s small span strong "
+        "strike sub sup table tt u ul var"
+    ).split()
+)
+# x/net/html svgTagNameAdjustments (case restoration after lowercasing)
+SVG_TAG_ADJUST = {
+    t.lower(): t
+    for t in (
+        "altGlyph altGlyphDef altGlyphItem animateColor animateMotion animateTransform "
+        "clipPath feBlend feColorMatrix feComponentTransfer feComposite feConvolveMatrix "
+        "feDiffuseLighting feDisplacementMap feDistantLight feFlood feFuncA feFuncB "
+        "feFuncG feFuncR feGaussianBlur feImage feMerge feMergeNode feMorphology "
+        "feOffset fePointLight feSpecularLighting feSpotLight feTile feTurbulence "
+        "foreignObject glyphRef linearGradient radialGradient textPath"
+    ).split()
+}
+# x/net/html svgAttributeAdjustments (camelCase restoration)
+SVG_ATTR_ADJUST = {
+    a.lower(): a
+    for a in (
+        "attributeName attributeType baseFrequency baseProfile calcMode clipPath "
+        "clipPathUnits contentScriptType contentStyleType diffuseConstant edgeMode "
+        "externalResourcesRequired filterUnits glyphRef gradientTransform gradientUnits "
+        "kernelMatrix kernelUnitLength keyPoints keySplines keyTimes lengthAdjust "
+        "limitingConeAngle markerHeight markerUnits markerWidth maskContentUnits "
+        "maskUnits numOctaves pathLength patternContentUnits patternTransform "
+        "patternUnits pointsAtX pointsAtY pointsAtZ preserveAlpha preserveAspectRatio "
+        "primitiveUnits refX refY repeatCount repeatDur requiredExtensions "
+        "requiredFeatures specularConstant specularExponent spreadMethod startOffset "
+        "stdDeviation stitchTiles surfaceScale systemLanguage tableValues targetX "
+        "targetY textLength viewBox viewTarget xChannelSelector yChannelSelector "
+        "zoomAndPan"
+    ).split()
+}
+
+# integration points: inside these, children parse as ordinary HTML again
+FOREIGN_INTEGRATION = frozenset(("foreignobject", "desc", "title", "annotation-xml"))
+
 # start tags whose "in body" handling does NOT reconstruct formatting
 NO_RECONSTRUCT = frozenset(
     (
@@ -399,6 +443,17 @@ class _TreeBuilder:
             if self.afe.pop() is None:
                 return
 
+    def _foreign_context(self):
+        """'svg'/'math' when the insertion point is inside foreign content
+        (no intervening HTML integration point), else None."""
+        for nd in reversed(self.stack):
+            dl = nd.data.lower()
+            if dl in ("svg", "math"):
+                return dl
+            if dl in FOREIGN_INTEGRATION:
+                return None
+        return None
+
     def _node_in_scope(self, target: Node) -> bool:
         for nd in reversed(self.stack):
             if nd is target:
@@ -604,8 +659,40 @@ class _TreeBuilder:
             self._ensure_body(attrs if name == "body" else None)
 
         # ---- in body ----
+        # foreign content (svg/math subtrees)
+        fctx = self._foreign_context()
+        if fctx is not None:
+            if name in FOREIGN_BREAKOUT:
+                # break out: pop the foreign subtree, reprocess as HTML
+                while self.stack and self.stack[-1].data not in ("svg", "math"):
+                    self.stack.pop()
+                if self.stack:
+                    self.stack.pop()
+                # fall through to normal HTML handling below
+            else:
+                if fctx == "svg":
+                    name = SVG_TAG_ADJUST.get(name, name)
+                    if attrs:
+                        attrs = [(SVG_ATTR_ADJUST.get(k, k), v) for k, v in attrs]
+                el = Node(ELEMENT_NODE, name, attrs or [])
+                self._current().append_child(el)
+                if not self_closing:  # foreign content honors self-closing
+                    self.stack.append(el)
+                return
+
         if name == "image":
             name = "img"
+
+        if name in ("svg", "math"):
+            if self.afe:
+                self._reconstruct_afe()
+            if name == "svg" and attrs:
+                attrs = [(SVG_ATTR_ADJUST.get(k, k), v) for k, v in attrs]
+            el = Node(ELEMENT_NODE, name, attrs or [])
+            self._current().append_child(el)
+            if not self_closing:
+                self.stack.append(el)
+            return
 
         if name in TABLE_ONLY_TAGS:
             self._table_start(name, attrs)
@@ -742,6 +829,16 @@ class _TreeBuilder:
                 return
             return
         # in body
+        if self._foreign_context() is not None:
+            # foreign end tag: case-insensitive pop, bounded by the foreign root
+            for idx in range(len(self.stack) - 1, -1, -1):
+                nd = self.stack[idx]
+                if nd.data.lower() == name:
+                    del self.stack[idx:]
+                    return
+                if nd.data in ("svg", "math"):
+                    return
+            return
         if name in ("body", "html"):
             return
         if name == "br":
