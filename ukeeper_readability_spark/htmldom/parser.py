@@ -9,10 +9,15 @@ implied end tags (p/li/dd/dt/option/heading), empty-<p> synthesis for stray </p>
 vendor/.../go-readability/readability.go:84), table context with implied tbody and
 foster parenting, and attribute merging for duplicate <html>/<body> tags.
 
-Known simplifications vs the full spec (documented divergences): no adoption agency /
-active-formatting-element reconstruction (misnested <b>/<i> across block boundaries),
-no template/frameset modes, no SVG/MathML foreign content. Real-world article HTML —
-including all reference golden fixtures — does not hit these.
+Implemented beyond the basics: the adoption agency algorithm with the active
+formatting elements list (Noah's Ark, markers, reconstruction — HTML5
+§13.2.6.4.7), and SVG/MathML foreign content (self-closing honored, camelCase
+adjustment, integration points, breakout tags — §13.2.6.5).
+
+Known simplifications vs the full spec (documented divergences): no template
+element or frameset modes, no form-element pointer, simplified select insertion
+mode. Real-world article HTML — including all reference golden fixtures — does
+not hit these.
 """
 
 from __future__ import annotations
