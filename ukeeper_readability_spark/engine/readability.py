@@ -28,7 +28,6 @@ from ..htmldom import (
 )
 from ..htmldom.query import count_descendant_tags, link_and_text_bytes
 from ..htmldom.node import Node
-from ..htmldom.render import render
 
 f32 = np.float32
 

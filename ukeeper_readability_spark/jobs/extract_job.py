@@ -19,7 +19,7 @@ Scale notes:
 from __future__ import annotations
 
 import os
-import time
+
 import uuid
 from typing import Iterator, Optional
 
