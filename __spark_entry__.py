@@ -403,6 +403,47 @@ _ORACLE_ORDERED = f"""
 """
 
 
+def _q_links_images(spark, sf_dir):
+    """P9 normalizeLinks + P11 image selection with value-hash oracle: array
+    outputs exposed as '|'-joined strings for engine-neutral comparison."""
+    from ukeeper_readability_spark.data.synth import LINKS_WRAP_SQL
+
+    trans = _transcripts(spark, sf_dir, LINKS_WRAP_SQL)
+    out = run_extraction(join_rules(trans, None), snippet_size=SNIPPET)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "content",
+        "rich_content",
+        F.array_join("links", "|").alias("links_joined"),
+        F.array_join("images", "|").alias("images_joined"),
+        "lead_image_url",
+    )
+
+
+def _oracle_links_images() -> str:
+    from ukeeper_readability_spark.data.synth import LINKS_WRAP_SQL
+
+    base = "'http://' || d.source || '.example.com'"
+    rel = f"{base} || '/r/' || doc_id"
+    img = f"{base} || '/img/' || doc_id || '.png'"
+    rich = (
+        f"'<div><div><p>' || d.text || ' <a href=\"' || {rel} || '\">more</a> and "
+        f"<a href=\"http://abs.example.com/x\">abs</a> "
+        f"<img src=\"' || {img} || '\"/> end</p></div></div>'"
+    )
+    return f"""
+        WITH t AS ({transcripts_from_documents_sql('documents', LINKS_WRAP_SQL)})
+        SELECT t.conv_id, t.turn_idx,
+               d.text || ' more and abs end' AS content,
+               {rich} AS rich_content,
+               {rel} || '|http://abs.example.com/x|' || {img} AS links_joined,
+               {img} AS images_joined,
+               {img} AS lead_image_url
+        FROM t JOIN documents d USING (doc_id)
+    """
+
+
 def _q_charset_meta(spark, sf_dir):
     """P1 charset report: http-equiv Content-Type meta overrides the default
     (extractor/text.go:83-88); transcoding is a no-op on decoded text."""
@@ -584,6 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_sibling_merge": _q_sibling_merge,
         "extract_ordered_window": _q_ordered_extraction,
         "extract_charset_meta": _q_charset_meta,
+        "extract_links_images": _q_links_images,
         "rules_disable": _q_rules_disable,
     }
 
@@ -617,5 +659,6 @@ def oracle_sql() -> dict[str, str]:
         "extract_sibling_merge": _oracle_sibling_merge(),
         "extract_ordered_window": _ORACLE_ORDERED,
         "extract_charset_meta": _oracle_charset_meta(),
+        "extract_links_images": _oracle_links_images(),
         "rules_disable": _ORACLE_RULES_DISABLE,
     }

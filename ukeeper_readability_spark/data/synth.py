@@ -115,6 +115,17 @@ def sibling_transcripts_sql(documents_rel: str, dialect: str) -> str:
     """
 
 
+# link/image variant: two anchors (relative + absolute) and one relative img —
+# exercises normalizeLinks rewriting (P9) and deterministic image selection
+# (P11) with oracle-predictable outputs
+LINKS_WRAP_SQL = (
+    "'<html><head><title>Doc ' || doc_id || '</title></head>"
+    "<body><div class=\"content\"><p>' || text || "
+    "' <a href=\"/r/' || doc_id || '\">more</a> and "
+    "<a href=\"http://abs.example.com/x\">abs</a> "
+    "<img src=\"/img/' || doc_id || '.png\"> end</p></div></body></html>'"
+)
+
 # charset-report variant: declared windows-1251 via http-equiv meta — the P1
 # path (extractor/text.go:83-88); the text is already decoded so only the
 # REPORTED charset changes, matching the reference's windows-1251 fixture setup
