@@ -154,6 +154,14 @@ TOK_DOCTYPE = 4
 _NAME_END = frozenset(" \t\n\f/>")
 _unescape = _htmlmod.unescape
 
+# Precompiled ASCII-case-insensitive close-tag matchers for raw-text/RCDATA
+# elements; tag names are ASCII so re.ASCII keeps IGNORECASE from touching
+# non-ASCII text (and avoids lowercasing the whole document per element).
+_RAW_CLOSE_RE = {
+    name: _re.compile("</" + name + r"(?=[ \t\n\f/>]|\Z)", _re.IGNORECASE | _re.ASCII)
+    for name in (RAW_TEXT | RCDATA)
+}
+
 
 def _tokenize(s: str):
     """Yield (kind, data, attrs, self_closing) tokens."""
@@ -212,21 +220,23 @@ def _tokenize(s: str):
             name, attrs, self_closing, i = _scan_tag(s, i + 1, n)
             yield (TOK_START, name, attrs, self_closing)
             if not self_closing and (name in RAW_TEXT or name in RCDATA):
-                # raw-text / RCDATA content until matching close tag
-                close = "</" + name
-                j = i
-                low = s.lower()
-                while True:
-                    k = low.find(close, j)
-                    if k == -1:
-                        raw = s[i:]
-                        if raw:
-                            yield (TOK_TEXT, _unescape(raw) if name in RCDATA and "&" in raw else raw, None, False)
-                        return
-                    after = k + len(close)
-                    if after >= n or s[after] in " \t\n\f/>":
-                        break
-                    j = after
+                if name == "plaintext":
+                    # HTML5: <plaintext> has no close tag; everything to EOF is text
+                    raw = s[i:]
+                    if raw:
+                        yield (TOK_TEXT, raw, None, False)
+                    return
+                # raw-text / RCDATA content until matching close tag.
+                # ASCII-case-insensitive regex on the ORIGINAL string: str.lower()
+                # can change length (U+0130 'İ' → 'i̇', 2 chars) and misalign
+                # indices; x/net/html scans ASCII-insensitively too.
+                m = _RAW_CLOSE_RE[name].search(s, i)
+                if m is None:
+                    raw = s[i:]
+                    if raw:
+                        yield (TOK_TEXT, _unescape(raw) if name in RCDATA and "&" in raw else raw, None, False)
+                    return
+                k = m.start()
                 raw = s[i:k]
                 if raw:
                     yield (TOK_TEXT, _unescape(raw) if name in RCDATA and "&" in raw else raw, None, False)
@@ -790,6 +800,8 @@ class _TreeBuilder:
         if name in TABLE_SECTIONS or name in ("caption", "colgroup"):
             self._clear_back_to(("table",))
             self._insert_element(name, attrs, push=name != "col")
+            if name == "caption":
+                self.afe.append(None)  # marker (caption scopes formatting, like cells)
             return
         if name == "col":
             if self.stack[-1].data != "colgroup":
@@ -873,7 +885,7 @@ class _TreeBuilder:
                 self._generate_implied_end()
                 self._pop_until(HEADINGS)
             return
-        if name in ("td", "th"):
+        if name in ("td", "th", "caption"):
             if self._in_scope(name):
                 self._generate_implied_end()
                 self._pop_until(name)
