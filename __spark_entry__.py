@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -465,6 +467,53 @@ def _oracle_charset_meta() -> str:
     """
 
 
+def _q_charset_transcode(spark, sf_dir):
+    """P1 byte-level toUtf8 (extractor/text.go:58-106): cp1251-encoded Cyrillic
+    bodies enter as BINARY; the declared header charset is REPORTED while the
+    decode encoding comes from the HTML5 prescan finding the body's own
+    <meta charset="windows-1251"> — engine/charset.py. The pandas encode UDF is
+    test-harness byte materialization standing in for raw crawl bytes."""
+    from pyspark.sql.types import BinaryType
+
+    from ukeeper_readability_spark.data.synth import CHARSET_1251_WRAP_SQL
+    from ukeeper_readability_spark.jobs.extract_job import run_extraction_bytes
+
+    trans = _transcripts(spark, sf_dir, CHARSET_1251_WRAP_SQL)
+
+    @F.pandas_udf(BinaryType())
+    def to_cp1251(s: pandas.Series) -> pandas.Series:
+        return s.map(lambda x: x.encode("cp1251"))
+
+    joined = (
+        trans.withColumn("body_bytes", to_cp1251(F.col("text")))
+        .withColumn(
+            "header_content_type", F.lit("text/html; charset=windows-1251")
+        )
+        .withColumn("rule_content", F.lit(None).cast("string"))
+        .withColumn("routed_cloudflare", F.lit(False))
+    )
+    out = run_extraction_bytes(joined, snippet_size=SNIPPET)
+    return out.select(
+        "conv_id", "turn_idx", "title", "content", "excerpt", "type", "charset"
+    )
+
+
+def _oracle_charset_transcode() -> str:
+    from ukeeper_readability_spark.data.synth import CHARSET_1251_WRAP_SQL, cyr_sql
+
+    content = cyr_sql("d.text")
+    return f"""
+        WITH t AS ({transcripts_from_documents_sql('documents', CHARSET_1251_WRAP_SQL)})
+        SELECT t.conv_id, t.turn_idx,
+               'Док ' || doc_id AS title,
+               {content} AS content,
+               {excerpt_sql(content, SNIPPET)} AS excerpt,
+               'text/html' AS type,
+               'windows-1251' AS charset
+        FROM t JOIN documents d USING (doc_id)
+    """
+
+
 def _q_rules_disable(spark, sf_dir):
     """S8 soft delete: disable by id, never hard-delete (datastore/rules.go:90-93)."""
     from ukeeper_readability_spark.jobs.rules_store import disable_rule
@@ -625,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_sibling_merge": _q_sibling_merge,
         "extract_ordered_window": _q_ordered_extraction,
         "extract_charset_meta": _q_charset_meta,
+        "extract_charset_transcode": _q_charset_transcode,
         "extract_links_images": _q_links_images,
         "rules_disable": _q_rules_disable,
     }
@@ -659,6 +709,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_sibling_merge": _oracle_sibling_merge(),
         "extract_ordered_window": _ORACLE_ORDERED,
         "extract_charset_meta": _oracle_charset_meta(),
+        "extract_charset_transcode": _oracle_charset_transcode(),
         "extract_links_images": _oracle_links_images(),
         "rules_disable": _ORACLE_RULES_DISABLE,
     }

@@ -126,6 +126,28 @@ LINKS_WRAP_SQL = (
     "<img src=\"/img/' || doc_id || '.png\"> end</p></div></body></html>'"
 )
 
+# byte-transcode variant: a Cyrillic payload (deterministic a-z→а-щ translate,
+# 26↔26 chars, valid in both engines) with a <meta charset="windows-1251">
+# that the HTML5 prescan must find — the reported charset comes from the HTTP
+# header stand-in, the DECODE encoding from the prescan (extractor/text.go:90-95
+# passing the bare label where mime.ParseMediaType finds no charset= param).
+# The Spark query encodes this HTML to cp1251 BYTES and runs the binary path;
+# the oracle regenerates the expected decoded text from the same translate.
+CYR_FROM = "abcdefghijklmnopqrstuvwxyz"
+CYR_TO = "абвгдежзийклмнопрстуфхцчшщ"
+
+
+def cyr_sql(col: str) -> str:
+    return f"translate({col}, '{CYR_FROM}', '{CYR_TO}')"
+
+
+CHARSET_1251_WRAP_SQL = (
+    "'<html><head><title>Док ' || doc_id || '</title>"
+    "<meta charset=\"windows-1251\"></head>"
+    "<body><div class=\"content\"><p>' || " + cyr_sql("text")
+    + " || '</p></div></body></html>'"
+)
+
 # charset-report variant: declared windows-1251 via http-equiv meta — the P1
 # path (extractor/text.go:83-88); the text is already decoded so only the
 # REPORTED charset changes, matching the reference's windows-1251 fixture setup

@@ -82,6 +82,32 @@ def get_content(body: str, rule_selector: Optional[str], raw_doc=None, donate_ra
     return content, rich, meta
 
 
+def extract_document_bytes(
+    body: bytes,
+    url: str,
+    rule_selector: Optional[str] = None,
+    snippet_size: int = DEFAULT_SNIPPET_SIZE,
+    header_content_type: Optional[str] = None,
+) -> dict:
+    """Raw-bytes entry: toUtf8 first (extractor/readability.go:128 calls
+    toUtf8 on the fetched body + header), then the string pipeline on the
+    decoded text. type/charset are toUtf8's report — header overridden by
+    http-equiv meta — while the decode encoding comes from BOM/prescan/sniff
+    (engine/charset.py module docstring; extractor/text.go:58-106)."""
+    from .charset import to_utf8
+
+    content_type, charset, text = to_utf8(
+        body if body is not None else b"", header_content_type
+    )
+    res = extract_document(
+        text, url, rule_selector=rule_selector, snippet_size=snippet_size,
+        header_content_type=header_content_type,
+    )
+    res["type"] = content_type
+    res["charset"] = charset
+    return res
+
+
 def extract_document(
     text: str,
     url: str,

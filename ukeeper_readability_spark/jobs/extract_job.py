@@ -126,7 +126,7 @@ def extract_by_rule(
     return run_extraction(df, snippet_size, num_partitions)
 
 
-def _make_extract_batches(snippet_size: int):
+def _make_extract_batches(snippet_size: int, binary: bool = False):
     def extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # DOM trees are parent/child reference cycles; threshold-based GC
         # thrashes on them (~10% of extraction time). Collect once per Arrow
@@ -136,7 +136,7 @@ def _make_extract_batches(snippet_size: int):
         gc_was_enabled = gc.isenabled()
         gc.disable()
         try:
-            yield from _extract_batches_inner(batches, snippet_size)
+            yield from _extract_batches_inner(batches, snippet_size, binary)
         finally:
             if gc_was_enabled:
                 gc.enable()
@@ -144,8 +144,12 @@ def _make_extract_batches(snippet_size: int):
     return extract_batches
 
 
-def _extract_batches_inner(batches: Iterator[pd.DataFrame], snippet_size: int):
+def _extract_batches_inner(
+    batches: Iterator[pd.DataFrame], snippet_size: int, binary: bool = False
+):
     import gc
+
+    from ..engine.extract import extract_document_bytes
 
     for pdf in batches:
         out = {k: [] for k in (
@@ -155,19 +159,29 @@ def _extract_batches_inner(batches: Iterator[pd.DataFrame], snippet_size: int):
             "m_candidates_rejected", "m_bytes_stripped", "m_rule_hit",
             "m_general_parse", "m_retries_relaxed",
         )}
-        texts = pdf["text"].values
+        texts = pdf["body_bytes" if binary else "text"].values
         tools = pdf["tool"].values
         rules_col = pdf["rule_content"].values
         routed = pdf["routed_cloudflare"].values
         convs = pdf["conv_id"].values
         turns = pdf["turn_idx"].values
+        headers = pdf["header_content_type"].values if binary else None
         for i in range(len(pdf)):
-            r = extract_document(
-                texts[i] if texts[i] is not None else "",
-                tools[i] if tools[i] is not None else "",
-                rule_selector=rules_col[i] if rules_col[i] else None,
-                snippet_size=snippet_size,
-            )
+            if binary:
+                r = extract_document_bytes(
+                    texts[i] if texts[i] is not None else b"",
+                    tools[i] if tools[i] is not None else "",
+                    rule_selector=rules_col[i] if rules_col[i] else None,
+                    snippet_size=snippet_size,
+                    header_content_type=headers[i] if headers[i] else None,
+                )
+            else:
+                r = extract_document(
+                    texts[i] if texts[i] is not None else "",
+                    tools[i] if tools[i] is not None else "",
+                    rule_selector=rules_col[i] if rules_col[i] else None,
+                    snippet_size=snippet_size,
+                )
             m = r["metrics"]
             out["conv_id"].append(convs[i])
             out["turn_idx"].append(turns[i])
@@ -215,6 +229,34 @@ def run_extraction(
             slim = slim.repartition(num_partitions, F.col("conv_id"))
     return slim.mapInPandas(
         _make_extract_batches(snippet_size), EXTRACTED_WITH_METRICS_SCHEMA
+    )
+
+
+def run_extraction_bytes(
+    joined: DataFrame,
+    snippet_size: int = DEFAULT_SNIPPET_SIZE,
+    num_partitions: Optional[int] = None,
+    salt_buckets: int = 0,
+) -> DataFrame:
+    """Raw-crawl entry: same plan as run_extraction but over a BINARY
+    `body_bytes` column plus a `header_content_type` column; the UDF runs
+    toUtf8 (BOM/prescan/windows-1252 semantics, engine/charset.py) before the
+    string pipeline — the path a user ingesting undecoded HTTP bodies hits
+    (reference extractor/readability.go:122-133)."""
+    cols = [
+        "conv_id", "turn_idx", "body_bytes", "header_content_type", "tool",
+        "rule_content", "routed_cloudflare",
+    ]
+    slim = joined.select(*cols)
+    if num_partitions:
+        if salt_buckets > 1:
+            salt = F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt_buckets))
+            slim = slim.repartition(num_partitions, F.col("conv_id"), salt)
+        else:
+            slim = slim.repartition(num_partitions, F.col("conv_id"))
+    return slim.mapInPandas(
+        _make_extract_batches(snippet_size, binary=True),
+        EXTRACTED_WITH_METRICS_SCHEMA,
     )
 
 
