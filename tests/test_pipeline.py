@@ -99,3 +99,31 @@ def test_media_features_stub(spark, docs):
         assert 1 <= r.width <= 256 and 1 <= r.height <= 256
         assert 1 <= r.n_frames <= 8
         assert len(r.checksum_hex) == 32
+
+
+def test_embedding_near_dup_hot_bucket_cap(spark):
+    """One degenerate bucket must be droppable via max_bucket — the O(b²)
+    guard for a hot quantizer cell (round-2 advisory fix)."""
+    from ukeeper_readability_spark.pipeline import embedding_near_duplicates
+
+    rows = [(i, [1.0, 0.0], 0) for i in range(20)]  # hot bucket: 20 identical
+    rows += [(100, [0.0, 1.0], 1), (101, [0.0, 1.0], 1)]  # small bucket pair
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    capped = embedding_near_duplicates(emb, threshold=0.9, max_bucket=5).collect()
+    assert {(r.doc_a, r.doc_b) for r in capped} == {(100, 101)}
+
+    uncapped = embedding_near_duplicates(emb, threshold=0.9, max_bucket=1000)
+    assert uncapped.count() == 20 * 19 // 2 + 1
+
+
+def test_ngram_jaccard_semijoin_prunes_noncandidates(spark, docs):
+    """Shingles of docs in no candidate pair must not reach the wide join:
+    the plan prunes via a broadcast left-semi join before doc_a."""
+    pairs = minhash_lsh_pairs(docs, shingle_n=3, k=8, bands=4)
+    out = ngram_jaccard(docs, pairs, shingle_n=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    # values unchanged by the prune: the (0,1) exact pair scores 1.0
+    vals = {(r.doc_a, r.doc_b): r.jaccard for r in out.collect()}
+    assert vals[(0, 1)] == 1.0

@@ -128,8 +128,20 @@ def ngram_jaccard(
     key_col: str = "doc_id",
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Exact Jaccard over word n-gram shingle sets for given candidate pairs."""
-    sh = _shingles(docs, text_col, key_col, shingle_n)
+    """Exact Jaccard over word n-gram shingle sets for given candidate pairs.
+
+    Shingles are semi-join-pruned to docs that appear in a candidate pair
+    BEFORE any wide join: at corpus scale most docs are in no pair, and their
+    shingles must not ride through the doc_a join shuffle.
+    """
+    cand = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = _shingles(docs, text_col, key_col, shingle_n).join(
+        F.broadcast(cand), "doc_id", "left_semi"
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

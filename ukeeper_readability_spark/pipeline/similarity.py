@@ -81,19 +81,28 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_col: str = "label",
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b) within coarse buckets.
 
     The scale path for embedding dedup: one shuffle on the bucket key bounds the
     pair space to within-bucket; cross-bucket near-dups are by construction
     below the quantizer's resolution (standard IVF dedup trade-off).
+
+    Buckets larger than `max_bucket` are dropped before the self-join — one hot
+    bucket (a degenerate quantizer cell) would otherwise go O(b²) and dominate
+    the job at corpus scale; mirror of the minhash-LSH cap (dedup.py
+    minhash_lsh_pairs). Degenerate cells are exact-dedup territory anyway.
     """
-    a = embeddings.select(
+    sized = embeddings.withColumn(
+        "_bsize", F.count(F.lit(1)).over(Window.partitionBy(bucket_col))
+    ).filter(F.col("_bsize") <= max_bucket)
+    a = sized.select(
         F.col(id_col).alias("doc_a"),
         F.col(vec_col).alias("avec"),
         F.col(bucket_col).alias("bucket"),
     )
-    b = embeddings.select(
+    b = sized.select(
         F.col(id_col).alias("doc_b"),
         F.col(vec_col).alias("bvec"),
         F.col(bucket_col).alias("bucket"),
