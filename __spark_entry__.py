@@ -337,6 +337,46 @@ def _q_ann_ivf(spark, sf_dir):
     return cosine_topk_bucketed(emb, queries, k=5, query_id_col="query_id")
 
 
+def _q_ann_ivf_lsh(spark, sf_dir):
+    """IVF with the IN-ENGINE random-hyperplane quantizer (round-2: the index
+    BUILD half): buckets are computed from md5-seeded planes, not assumed from
+    a label column; exact top-k within the query's computed bucket. The oracle
+    recomputes planes + buckets + ranking bit-for-bit in DuckDB."""
+    from ukeeper_readability_spark.pipeline import cosine_topk_ivf_lsh
+
+    _register(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_ivf_lsh(
+        emb, queries, k=5, n_planes=4, dim=64, n_probes=1
+    )
+
+
+def _q_ann_kmeans_recall(spark, sf_dir):
+    """recall@5 of kmeans-IVF vs bruteforce per query. Rows-only gate: Lloyd's
+    float iterations aren't SQL-replicable; pytest asserts recall ≥ 0.9 on a
+    clustered corpus (tests/test_ivf.py) — on this driver corpus the embeddings
+    are isotropic noise, so recall here measures the data, not the engine."""
+    from ukeeper_readability_spark.pipeline import (
+        ann_recall_vs_bruteforce,
+        cosine_topk_bruteforce as _brute,
+        cosine_topk_ivf_kmeans,
+        kmeans_fit,
+    )
+
+    _register(spark, sf_dir, "embeddings")
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = kmeans_fit(emb, n_clusters=8, iters=3)
+    approx = cosine_topk_ivf_kmeans(emb, queries, cents, k=5)
+    exact = _brute(emb, queries, k=5)
+    return ann_recall_vs_bruteforce(approx, exact, k=5)
+
+
 def _q_sibling_merge(spark, sf_dir):
     """Sibling-merge path (go-readability getArticle R9): a qualifying body-
     level <p> must be emitted BEFORE the best-candidate div."""
@@ -666,6 +706,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "ann_cosine_bruteforce": _q_ann_brute,
         "ann_cosine_ivf_label": _q_ann_ivf,
+        "ann_cosine_ivf_lsh": _q_ann_ivf_lsh,
+        "ann_ivf_kmeans_recall": _q_ann_kmeans_recall,
         "multimodal_media_features": _q_media_features,
         "dedup_embedding_cosine": _q_embedding_near_dup,
         "text_redact_pii": _q_redact_pii,
@@ -701,6 +743,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _po.fingerprint_sql(5),
         "ann_cosine_bruteforce": _po.ann_sql(5, 50, bucketed=False),
         "ann_cosine_ivf_label": _po.ann_sql(5, 50, bucketed=True),
+        "ann_cosine_ivf_lsh": _po.ann_ivf_lsh_sql(5, 50, n_planes=4, dim=64),
         "multimodal_media_features": _po.media_features_sql(),
         "dedup_embedding_cosine": _ORACLE_EMBEDDING_NEAR_DUP,
         "text_redact_pii": _oracle_redact_pii(),

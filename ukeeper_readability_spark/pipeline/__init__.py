@@ -7,9 +7,15 @@ from .dedup import (
 )
 from .multimodal import media_features, synthesize_media
 from .similarity import (
+    ann_recall_vs_bruteforce,
     cosine_topk_bruteforce,
     cosine_topk_bucketed,
+    cosine_topk_ivf_kmeans,
+    cosine_topk_ivf_lsh,
     embedding_near_duplicates,
+    kmeans_fit,
+    with_hyperplane_bucket,
+    with_kmeans_bucket,
 )
 from .text_analysis import fingerprint, language_id, quality_score, token_counts
 
@@ -24,6 +30,12 @@ __all__ = [
     "cosine_topk_bruteforce",
     "embedding_near_duplicates",
     "cosine_topk_bucketed",
+    "cosine_topk_ivf_lsh",
+    "cosine_topk_ivf_kmeans",
+    "kmeans_fit",
+    "with_hyperplane_bucket",
+    "with_kmeans_bucket",
+    "ann_recall_vs_bruteforce",
     "fingerprint",
     "language_id",
     "quality_score",

@@ -201,3 +201,43 @@ def media_features_sql() -> str:
                md5(text) AS checksum_hex
         FROM documents
     """
+
+
+def ann_ivf_lsh_sql(k: int = 5, query_mod: int = 50, n_planes: int = 4, dim: int = 64) -> str:
+    """Hyperplane-LSH IVF oracle: recompute the md5-seeded planes, the bucket
+    assignment (sign of round(dot,6), same ULP guard as the engine), then
+    exact top-k within the query's bucket. Single probe."""
+    plane = (
+        f"list_transform(range(0, {dim}), j -> "
+        f"('0x' || substr(md5('hp-' || i || '-' || j), 1, 8))::BIGINT "
+        f"/ 4294967295.0 * 2 - 1)"
+    )
+    return f"""
+        WITH planes AS (
+            SELECT i AS plane, {plane} AS pv FROM range(0, {n_planes}) t(i)
+        ),
+        b AS (
+            SELECT e.vec_id, e.embedding,
+                   CAST(sum(CASE WHEN round(list_dot_product(e.embedding::DOUBLE[], p.pv), 6) >= 0
+                                 THEN (1 << p.plane) ELSE 0 END) AS INT) AS bucket
+            FROM embeddings e, planes p
+            GROUP BY e.vec_id, e.embedding
+        ),
+        q AS (SELECT vec_id AS query_id, embedding, bucket FROM b
+              WHERE vec_id % {query_mod} = 0),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   round(list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) /
+                         (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])) *
+                          sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))), 6) AS cosine
+            FROM b e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """
