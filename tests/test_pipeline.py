@@ -90,15 +90,28 @@ def test_ann_bruteforce_self_similarity(spark):
     assert [r.neighbor_id for r in sorted(top, key=lambda r: r.rank)] == [0, 1]
 
 
-def test_media_features_stub(spark, docs):
+def test_media_features_real_headers(spark, docs):
+    """synthesize_media emits structurally valid PNG/WAV/GIF; media_features
+    parses the real headers (not a stub)."""
+    import hashlib
+
     media = synthesize_media(spark, docs)
     feats = {r.media_id: r for r in media_features(media).collect()}
     assert len(feats) == 5
     for r in feats.values():
-        assert r.n_bytes == 16
-        assert 1 <= r.width <= 256 and 1 <= r.height <= 256
-        assert 1 <= r.n_frames <= 8
-        assert len(r.checksum_hex) == 32
+        assert r.checksum_hex == bytes.fromhex(r.checksum_hex).hex()
+        assert r.n_bytes == len(r.checksum_hex) // 2
+    texts = {0: "the quick brown fox jumps over the lazy dog again and again today"}
+    b = hashlib.md5(texts[0].encode()).digest()
+    r0 = feats[0]  # doc 0 -> image/png
+    assert (r0.kind, r0.container) == ("image", "png")
+    assert (r0.width, r0.height, r0.n_frames) == (1 + b[0], 1 + b[1], 1)
+    r1 = feats[1]  # doc 1 -> audio/wav
+    assert (r1.kind, r1.container) == ("audio", "wav")
+    assert (r1.width, r1.height) == (0, 0) and r1.n_frames % 16 == 0
+    r2 = feats[2]  # doc 2 -> video/gif
+    assert (r2.kind, r2.container) == ("video", "gif")
+    assert 1 <= r2.n_frames <= 8
 
 
 def test_embedding_near_dup_hot_bucket_cap(spark):

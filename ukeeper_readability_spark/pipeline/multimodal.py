@@ -1,16 +1,29 @@
 """Multimodal columns: opaque binary payloads + typed metadata.
 
 Images/audio/video are `binary` columns with a metadata struct; decode /
-feature-extract / resize / frame-sample run as Arrow-batched pandas functions
-over mapInPandas. The actual codec work is STUBBED (no image/audio libs in this
-container) behind `decode_stub` — a deterministic fake deriving pseudo
-dimensions from the payload bytes — while the Spark-side plumbing (schema,
-partitioning, UDF signature, batch shape) is real and tested. Swap
-`decode_stub` for a PIL/ffmpeg call in production; nothing else changes.
+feature-extract run as Arrow-batched pandas functions over mapInPandas.
+
+`decode_media` is a REAL pure-Python container-header decoder (round 2 — it
+replaced the round-1 deterministic fake):
+  - PNG: signature + IHDR width/height (big-endian, spec §11.2.2);
+  - GIF: logical screen descriptor width/height + a full block walk counting
+    image descriptors (frames), honoring global/local color tables and
+    extension sub-blocks (GIF89a spec §§18-23);
+  - WAV: RIFF/WAVE chunk walk; frame count = data size / fmt block-align.
+Pixel/sample DECODING (LZW, IDAT inflate, PCM) is out of scope — no codec
+libs in this container; a PIL/ffmpeg call slots in behind the same function
+for full decode. Unknown containers yield zeroed dimensions, never an error
+(at 10^12 rows every corrupt header WILL occur).
+
+`synthesize_media` builds structurally valid PNG/GIF/WAV payloads from
+documents via a SHARED hex-string SQL expression (media_payload_hex_sql) that
+DuckDB evaluates identically — so the driver's oracle value-hash-checks real
+header parsing end-to-end, including the payload checksum.
 """
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator
 
 import pandas as pd
@@ -38,6 +51,7 @@ MEDIA_FEATURES_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
         StructField("kind", StringType()),
+        StructField("container", StringType()),
         StructField("n_bytes", LongType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
@@ -46,32 +60,107 @@ MEDIA_FEATURES_SCHEMA = StructType(
     ]
 )
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-def decode_stub(payload: bytes) -> dict:
-    """Deterministic fake decoder.
 
-    Production implementation raises until a codec library is wired in:
-        raise NotImplementedError("wire PIL/ffmpeg decode here")
-    The fake derives dimensions from the payload's first bytes so tests and
-    oracles are stable: width = 1 + b[0], height = 1 + b[1], frames = 1 + b[2] % 8.
-    """
-    b = payload or b"\x00\x00\x00"
-    b = b + b"\x00\x00\x00"
+def _decode_png(p: bytes) -> dict | None:
+    # signature, then first chunk must be IHDR: len(4BE) 'IHDR' w(4BE) h(4BE)
+    if len(p) < 24 or not p.startswith(_PNG_SIG) or p[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", p[16:24])
+    return {"container": "png", "width": w, "height": h, "n_frames": 1}
+
+
+def _decode_gif(p: bytes) -> dict | None:
+    if len(p) < 13 or p[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    w, h = struct.unpack("<HH", p[6:10])
+    flags = p[10]
+    i = 13
+    if flags & 0x80:  # global color table: 3 * 2^(N+1) bytes
+        i += 3 * (2 << (flags & 0x07))
+    frames = 0
+    n = len(p)
+
+    def _skip_subblocks(j: int) -> int:
+        while j < n:
+            size = p[j]
+            j += 1
+            if size == 0:
+                return j
+            j += size
+        return j
+
+    while i < n:
+        b = p[i]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            i = _skip_subblocks(i + 2)
+        elif b == 0x2C:  # image descriptor
+            if i + 10 > n:
+                break
+            frames += 1
+            lflags = p[i + 9]
+            i += 10
+            if lflags & 0x80:  # local color table
+                i += 3 * (2 << (lflags & 0x07))
+            i += 1  # LZW minimum code size
+            i = _skip_subblocks(i)
+        else:  # corrupt block stream
+            break
+    return {"container": "gif", "width": w, "height": h, "n_frames": frames}
+
+
+def _decode_wav(p: bytes) -> dict | None:
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    i = 12
+    block_align = 1
+    data_size = 0
+    n = len(p)
+    while i + 8 <= n:
+        cid = p[i : i + 4]
+        (size,) = struct.unpack("<I", p[i + 4 : i + 8])
+        if cid == b"fmt " and i + 22 <= n:
+            (block_align,) = struct.unpack("<H", p[i + 20 : i + 22])
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # chunks are word-aligned
     return {
-        "width": 1 + b[0],
-        "height": 1 + b[1],
-        "n_frames": 1 + (b[2] % 8),
+        "container": "wav",
+        "width": 0,
+        "height": 0,
+        "n_frames": data_size // max(block_align, 1),
     }
+
+
+def decode_media(payload: bytes) -> dict:
+    """Sniff the container by magic and parse its header. Corrupt/unknown
+    payloads yield zeroed features (container='unknown'), never an error."""
+    p = payload or b""
+    for dec in (_decode_png, _decode_gif, _decode_wav):
+        meta = dec(p)
+        if meta is not None:
+            return meta
+    return {"container": "unknown", "width": 0, "height": 0, "n_frames": 0}
 
 
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        rows = {k: [] for k in ("media_id", "kind", "n_bytes", "width", "height", "n_frames", "checksum_hex")}
+        rows = {
+            k: []
+            for k in (
+                "media_id", "kind", "container", "n_bytes", "width", "height",
+                "n_frames", "checksum_hex",
+            )
+        }
         for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
             p = bytes(payload) if payload is not None else b""
-            meta = decode_stub(p)
+            meta = decode_media(p)
             rows["media_id"].append(mid)
             rows["kind"].append(kind)
+            rows["container"].append(meta["container"])
             rows["n_bytes"].append(len(p))
             rows["width"].append(meta["width"])
             rows["height"].append(meta["height"])
@@ -92,17 +181,84 @@ def media_features(media: DataFrame, num_partitions: int = 0) -> DataFrame:
     return slim.mapInPandas(_extract_batches, MEDIA_FEATURES_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Deterministic synthetic payloads, reproducible in BOTH engines as one hex
+# string. Dimensions derive from md5(text) bytes: w = 1+b0, h = 1+b1,
+# gif frames f = 1+(b2%8), wav repeats r = 1+(b3%4).
+# ---------------------------------------------------------------------------
+
+
+def _hx2int(e: str, dialect: str) -> str:
+    """hex-pair string expr → int expr, per dialect."""
+    if dialect == "spark":
+        return f"CAST(conv({e}, 16, 10) AS INT)"
+    return f"('0x' || {e})::INT"
+
+
+def _byte_hex(e: str) -> str:
+    """int expr (0..255) → 2-char lowercase hex, dialect-neutral."""
+    return (
+        f"substr('0123456789abcdef', CAST(floor(({e})/16) AS INT) + 1, 1) || "
+        f"substr('0123456789abcdef', CAST(({e})%16 AS INT) + 1, 1)"
+    )
+
+
+def _le16(e: str) -> str:
+    return f"{_byte_hex(f'({e})%256')} || {_byte_hex(f'floor(({e})/256)')}"
+
+
+def _be32_small(e: str) -> str:  # values ≤ 65535
+    return f"'0000' || {_byte_hex(f'floor(({e})/256)')} || {_byte_hex(f'({e})%256')}"
+
+
+def media_payload_hex_sql(dialect: str, text_col: str = "text", key_col: str = "doc_id") -> str:
+    """Lowercase hex of the synthetic payload, as a SQL expression valid in the
+    given dialect ('spark' | 'duck'). kind = [image, audio, video][doc_id % 3].
+    """
+    m = f"md5({text_col})"
+    b = [_hx2int(f"substr({m}, {1 + 2 * i}, 2)", dialect) for i in range(4)]
+    w, h = f"(1 + {b[0]})", f"(1 + {b[1]})"
+    f_ = f"(1 + ({b[2]}) % 8)"
+    r = f"(1 + ({b[3]}) % 4)"
+
+    png = (
+        f"'89504e470d0a1a0a' || '0000000d49484452' || {_be32_small(w)} || "
+        f"{_be32_small(h)} || '0806000000' || '00000000' || {m}"
+    )
+    gif_frame = f"'2c00000000' || {_le16(w)} || {_le16(h)} || '00' || '02' || '01aa' || '00'"
+    gif = (
+        f"'474946383961' || {_le16(w)} || {_le16(h)} || '000000' || "
+        f"repeat({gif_frame}, {f_}) || '3b'"
+    )
+    datasize = f"(16 * {r})"
+    wav = (
+        f"'52494646' || {_byte_hex(f'36 + {datasize}')} || '000000' || "
+        f"'57415645' || '666d7420' || '10000000' || '0100' || '0100' || "
+        f"'401f0000' || '401f0000' || '0100' || '0800' || "
+        f"'64617461' || {_byte_hex(datasize)} || '000000' || repeat({m}, {r})"
+    )
+    return (
+        f"CASE CAST(({key_col}) % 3 AS INT) "
+        f"WHEN 0 THEN ({png}) WHEN 1 THEN ({wav}) ELSE ({gif}) END"
+    )
+
+
 def synthesize_media(spark, docs: DataFrame, key_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Deterministic media table derived from documents: payload = the UTF-8
-    bytes of md5(text) unhexed — a stand-in for real image bytes that both
-    engines (Spark / DuckDB) can reconstruct."""
+    """Deterministic media table derived from documents: structurally valid
+    PNG / WAV / GIF payloads built from the shared hex expression, so the
+    DuckDB oracle can reproduce payload, dimensions, and checksum exactly."""
     kinds = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col(key_col) % 3 + 1).cast("int"),
     )
+    mimes = F.element_at(
+        F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("image/gif")),
+        (F.col(key_col) % 3 + 1).cast("int"),
+    )
+    hex_expr = media_payload_hex_sql("spark", text_col=text_col, key_col=key_col)
     return docs.select(
         F.col(key_col).cast("long").alias("media_id"),
         kinds.alias("kind"),
-        F.unhex(F.md5(F.col(text_col))).alias("payload"),
-        F.lit("application/octet-stream").alias("mime"),
+        F.unhex(F.expr(hex_expr)).alias("payload"),
+        mimes.alias("mime"),
     )

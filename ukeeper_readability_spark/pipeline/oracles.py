@@ -191,15 +191,30 @@ def ann_sql(k: int = 5, query_mod: int = 50, bucketed: bool = False) -> str:
 
 
 def media_features_sql() -> str:
-    return """
+    """Oracle for the REAL header decoders: rebuild the payload hex with the
+    shared expression (multimodal.media_payload_hex_sql), predict the parsed
+    dimensions from the same md5 bytes, and check the checksum against the
+    whole constructed payload."""
+    from .multimodal import media_payload_hex_sql
+
+    hexpr = media_payload_hex_sql("duck")
+    b = [f"('0x' || substr(md5(text), {1 + 2 * i}, 2))::INT" for i in range(4)]
+    return f"""
+        WITH p AS (
+            SELECT doc_id, (doc_id % 3) AS k, {hexpr} AS ph,
+                   1 + {b[0]} AS w, 1 + {b[1]} AS h,
+                   1 + ({b[2]}) % 8 AS f, 1 + ({b[3]}) % 4 AS r
+            FROM documents
+        )
         SELECT CAST(doc_id AS BIGINT) AS media_id,
-               ['image', 'audio', 'video'][(doc_id % 3) + 1] AS kind,
-               CAST(16 AS BIGINT) AS n_bytes,
-               CAST(1 + ('0x' || substr(md5(text), 1, 2))::INT AS INT) AS width,
-               CAST(1 + ('0x' || substr(md5(text), 3, 2))::INT AS INT) AS height,
-               CAST(1 + (('0x' || substr(md5(text), 5, 2))::INT % 8) AS INT) AS n_frames,
-               md5(text) AS checksum_hex
-        FROM documents
+               ['image', 'audio', 'video'][k + 1] AS kind,
+               ['png', 'wav', 'gif'][k + 1] AS container,
+               CAST(length(ph) / 2 AS BIGINT) AS n_bytes,
+               CAST(CASE WHEN k = 1 THEN 0 ELSE w END AS INT) AS width,
+               CAST(CASE WHEN k = 1 THEN 0 ELSE h END AS INT) AS height,
+               CAST(CASE k WHEN 0 THEN 1 WHEN 1 THEN 16 * r ELSE f END AS INT) AS n_frames,
+               ph AS checksum_hex
+        FROM p
     """
 
 
