@@ -268,7 +268,7 @@ from ukeeper_readability_spark.pipeline import (  # noqa: E402
     token_counts,
 )
 from ukeeper_readability_spark.pipeline import oracles as _po  # noqa: E402
-from ukeeper_readability_spark.pipeline.text_analysis import STOPWORDS  # noqa: E402
+from ukeeper_readability_spark.pipeline.text_analysis import STOPWORDS, TRIGRAMS  # noqa: E402
 
 
 def _docs(spark, sf_dir):
@@ -507,6 +507,115 @@ def _oracle_charset_meta() -> str:
     """
 
 
+def _full_rules_sql(dialect: str) -> str:
+    """Rules rows with the FULL datastore.Rule schema (datastore/rules.go:20-32)
+    including match_urls / excludes / test_urls — fields the reference stores
+    but never applies (Get filters only {domain, enabled}, rules.go:43)."""
+    def arr(*items: str) -> str:
+        fn = "array" if dialect == "spark" else "list_value"
+        return f"{fn}({', '.join(items)})"
+
+    return f"""
+        SELECT 'rule-' || n_nationkey AS id,
+               'src' || n_nationkey || '.example.com' AS domain,
+               {arr("'http://src' || n_nationkey || '.example.com/never-matching/'")} AS match_urls,
+               '.content p' AS content,
+               'author-' || (n_nationkey % 5) AS author,
+               '2026-01-0' || (1 + n_nationkey % 9) AS ts,
+               {arr("'.content p'", "'p'")} AS excludes,
+               {arr("'http://src' || n_nationkey || '.example.com/t1'")} AS test_urls,
+               'user-' || (n_nationkey % 3) AS user,
+               (n_nationkey % 2 = 0) AS enabled,
+               (n_nationkey % 5 = 0) AS use_cloudflare
+        FROM nation
+    """
+
+
+_RULES_ALL_OUT = [
+    "id", "domain", "content", "author", "ts", "user", "enabled",
+    "use_cloudflare",
+]
+
+
+def _q_rules_all(spark, sf_dir):
+    """S9 RulesDAO.All (datastore/rules.go:96-108): full scan, enabled AND
+    disabled, all columns (arrays joined for engine-neutral value compare)."""
+    from ukeeper_readability_spark.jobs.rules_store import all_rules
+
+    _register(spark, sf_dir, "nation")
+    rules = all_rules(spark.sql(_full_rules_sql("spark")))
+    return rules.select(
+        *_RULES_ALL_OUT,
+        F.array_join("match_urls", "|").alias("match_urls_joined"),
+        F.array_join("excludes", "|").alias("excludes_joined"),
+        F.array_join("test_urls", "|").alias("test_urls_joined"),
+    )
+
+
+def _oracle_rules_all() -> str:
+    return f"""
+        WITH r AS ({_full_rules_sql('duck')})
+        SELECT {', '.join(_RULES_ALL_OUT)},
+               array_to_string(match_urls, '|') AS match_urls_joined,
+               array_to_string(excludes, '|') AS excludes_joined,
+               array_to_string(test_urls, '|') AS test_urls_joined
+        FROM r
+    """
+
+
+def _q_rules_get_by_id(spark, sf_dir):
+    """S10 RulesDAO.GetByID point lookup (datastore/rules.go:60-64)."""
+    from ukeeper_readability_spark.jobs.rules_store import get_by_id
+
+    _register(spark, sf_dir, "nation")
+    rules = spark.sql(_full_rules_sql("spark"))
+    return get_by_id(rules, "rule-7").select("id", "domain", "content", "enabled")
+
+
+_ORACLE_RULES_GET_BY_ID = f"""
+    WITH r AS ({_full_rules_sql('duck')})
+    SELECT id, domain, content, enabled FROM r WHERE id = 'rule-7'
+"""
+
+
+def _q_rules_ignored_fields(spark, sf_dir):
+    """match_urls/excludes are stored-but-never-applied (reference
+    datastore/rules.go:20-32: Get filters only {domain, enabled}; the extractor
+    reads rule.Content alone, extractor/readability.go:180-197). The rules here
+    carry match_urls that never match any document URL and excludes that would
+    empty the selector output — if either were (wrongly) applied, content
+    would flip to the general-parse shape and hash-mismatch the oracle."""
+    _register(spark, sf_dir, "documents", "nation")
+    trans = _transcripts(spark, sf_dir, PLAIN_WRAP_SQL)
+    rules = spark.sql(_full_rules_sql("spark"))
+    joined = join_rules(trans, rules)
+    out = run_extraction(joined, snippet_size=SNIPPET)
+    return out.select(
+        "conv_id", "turn_idx", "content", "rich_content",
+        F.col("m_rule_hit").alias("rule_hit"),
+    )
+
+
+_ORACLE_RULES_IGNORED = f"""
+    WITH t AS ({transcripts_from_documents_sql('documents', PLAIN_WRAP_SQL)}),
+    r AS ({_full_rules_sql('duck')}),
+    m AS (
+        SELECT t.conv_id, t.turn_idx, d.text,
+               (r.enabled IS NOT NULL AND r.enabled) AS has_rule
+        FROM t
+        JOIN documents d USING (doc_id)
+        LEFT JOIN r ON r.domain = 'src' || substr(d.source, 4) || '.example.com'
+                   AND r.enabled
+    )
+    SELECT conv_id, turn_idx,
+           text AS content,
+           CASE WHEN has_rule THEN text
+                ELSE '<div><div><p>' || text || '</p></div></div>' END AS rich_content,
+           CAST(CASE WHEN has_rule THEN 1 ELSE 0 END AS INT) AS rule_hit
+    FROM m
+"""
+
+
 def _q_charset_transcode(spark, sf_dir):
     """P1 byte-level toUtf8 (extractor/text.go:58-106): cp1251-encoded Cyrillic
     bodies enter as BINARY; the declared header charset is REPORTED while the
@@ -719,6 +828,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_charset_transcode": _q_charset_transcode,
         "extract_links_images": _q_links_images,
         "rules_disable": _q_rules_disable,
+        "rules_all": _q_rules_all,
+        "rules_get_by_id": _q_rules_get_by_id,
+        "rules_ignored_fields": _q_rules_ignored_fields,
     }
 
 
@@ -738,7 +850,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _po.jaccard_sql(3, 8, 4),
         "dedup_simhash": _po.simhash_sql(16),
         "text_token_counts": _po.token_counts_sql(),
-        "text_language_id": _po.language_id_sql(STOPWORDS),
+        "text_language_id": _po.language_id_sql(STOPWORDS, TRIGRAMS),
         "text_quality_score": _po.quality_score_sql(STOPWORDS["en"]),
         "text_fingerprint": _po.fingerprint_sql(5),
         "ann_cosine_bruteforce": _po.ann_sql(5, 50, bucketed=False),
@@ -755,4 +867,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_charset_transcode": _oracle_charset_transcode(),
         "extract_links_images": _oracle_links_images(),
         "rules_disable": _ORACLE_RULES_DISABLE,
+        "rules_all": _oracle_rules_all(),
+        "rules_get_by_id": _ORACLE_RULES_GET_BY_ID,
+        "rules_ignored_fields": _ORACLE_RULES_IGNORED,
     }

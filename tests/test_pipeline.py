@@ -68,6 +68,19 @@ def test_text_analysis(spark, docs):
     li = {r.doc_id: r for r in language_id(docs).collect()}
     assert li[0].detected_lang == "en"
     assert li[4].detected_lang == "es"
+    # trigram fallback: no stopwords hit, signature trigrams decide
+    extra = spark.createDataFrame(
+        [
+            (10, "zwischendurch geschwindigkeit durchschnittlich"),  # de trigrams
+            (11, "informazione considerazione organizzazione"),  # it trigrams
+            (12, ""),  # empty: silent everywhere, deterministic tie-break
+        ],
+        "doc_id long, text string",
+    )
+    li2 = {r.doc_id: r for r in language_id(extra).collect()}
+    assert li2[10].used_trigram_fallback and li2[10].detected_lang == "de"
+    assert li2[11].used_trigram_fallback and li2[11].detected_lang == "it"
+    assert li2[12].used_trigram_fallback and li2[12].detected_lang == "de"
     q = {r.doc_id: r for r in quality_score(docs).collect()}
     assert 0 < q[0].distinct_token_ratio < 1  # repeated 'the'/'again'
     fp = {r.doc_id: r.fingerprint for r in fingerprint(docs).collect()}

@@ -115,8 +115,14 @@ def token_counts_sql() -> str:
     """
 
 
-def language_id_sql(stopwords: dict) -> str:
-    structs = ", ".join(
+def language_id_sql(stopwords: dict, trigrams: dict) -> str:
+    """Two-stage heuristic: stopword argmax, character-trigram fallback on
+    silence/tie — mirrors text_analysis.language_id expression-for-expression."""
+    tris = (
+        "list_transform(range(1, greatest(length(trim(lower(text))) - 2, 1) + 1), "
+        "i -> substr(trim(lower(text)), CAST(i AS INT), 3))"
+    )
+    sw_structs = ", ".join(
         "{{'neg_hits': -len(list_filter({toks}, t -> list_contains({lst}, t))), "
         "'lang': '{lang}', "
         "'hits': len(list_filter({toks}, t -> list_contains({lst}, t)))}}".format(
@@ -126,13 +132,34 @@ def language_id_sql(stopwords: dict) -> str:
         )
         for lang, words in sorted(stopwords.items())
     )
-    return f"""
-        WITH scored AS (
-            SELECT doc_id, list_sort([{structs}])[1] AS best FROM documents
+    tri_structs = ", ".join(
+        "{{'neg_hits': -len(list_filter(tg, t -> list_contains({lst}, t))), "
+        "'lang': '{lang}', "
+        "'hits': len(list_filter(tg, t -> list_contains({lst}, t)))}}".format(
+            lang=lang,
+            lst="[" + ", ".join(f"'{t}'" for t in trigrams[lang]) + "]",
         )
-        SELECT doc_id, best.lang AS detected_lang,
-               CAST(best.hits AS INT) AS stopword_hits
-        FROM scored
+        for lang in sorted(stopwords)
+    )
+    return f"""
+        WITH t AS (SELECT doc_id, text, {tris} AS tg FROM documents),
+        scored AS (
+            SELECT doc_id,
+                   list_sort([{sw_structs}]) AS sw,
+                   list_sort([{tri_structs}])[1] AS tri_best
+            FROM t
+        ),
+        d AS (
+            SELECT doc_id, sw[1] AS best, sw[2] AS second, tri_best,
+                   (sw[1].hits = 0 OR sw[1].hits = sw[2].hits) AS ambiguous
+            FROM scored
+        )
+        SELECT doc_id,
+               CASE WHEN ambiguous THEN tri_best.lang ELSE best.lang END AS detected_lang,
+               CAST(best.hits AS INT) AS stopword_hits,
+               CAST(CASE WHEN ambiguous THEN tri_best.hits ELSE 0 END AS INT) AS trigram_hits,
+               ambiguous AS used_trigram_fallback
+        FROM d
     """
 
 

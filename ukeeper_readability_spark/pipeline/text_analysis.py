@@ -15,6 +15,22 @@ STOPWORDS = {
     "es": ["el", "la", "de", "que", "y", "en", "un", "una", "los", "por"],
     "de": ["der", "die", "und", "das", "ist", "ein", "zu", "mit", "von", "nicht"],
     "fr": ["le", "la", "et", "les", "des", "un", "une", "que", "pour", "dans"],
+    "it": ["il", "di", "che", "e", "la", "per", "un", "con", "non", "del"],
+    "pt": ["o", "a", "de", "que", "e", "do", "da", "em", "um", "para"],
+    "nl": ["de", "het", "een", "van", "en", "dat", "is", "op", "te", "niet"],
+}
+
+# signature character trigrams per language — the fallback signal when
+# stopwords are silent or tied (short texts, agglutinated prose, no-space CJK
+# is out of scope). Overlap across languages is fine; counts differ.
+TRIGRAMS = {
+    "en": ["the", "he ", " th", "ing", "and", "ion", " of", "ed ", "tio", " to"],
+    "es": [" de", "de ", "os ", " la", "la ", "ión", "ció", " es", "ar ", " qu"],
+    "de": ["en ", "er ", "ch ", "sch", "ein", "ich", "der", "und", "ie ", " ge"],
+    "fr": [" de", "es ", "de ", " le", "le ", "ent", " qu", "que", "les", "ais"],
+    "it": [" di", "di ", "to ", " ch", "che", "zio", "no ", "re ", " co", "ell"],
+    "pt": [" de", "de ", "ão ", "ção", " da", "da ", "em ", " em", "os ", " co"],
+    "nl": ["en ", " de", "de ", "et ", "een", " ee", "van", " va", "aar", "ij "],
 }
 
 
@@ -41,26 +57,43 @@ def token_counts(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id
 
 
 def language_id(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
-    """Stopword-ratio language heuristic: argmax language by stopword hits.
+    """Two-stage language heuristic, all codegen expressions.
 
-    Deterministic tie-break: language code ascending. Emits the winning
-    language and its hit count.
+    Stage 1: argmax language by stopword hits (tie-break: language code
+    ascending). Stage 2 (fallback, fires when stage 1 is silent — zero hits —
+    or tied between the top two): argmax by signature character-trigram
+    occurrences over the lowercased text. Emits which stage decided.
     """
     toks = _tokens(F.col(text_col))
-    scores = []
+    s = F.lower(F.trim(F.col(text_col)))
+    tri_idx = F.sequence(F.lit(1), F.greatest(F.length(s) - 2, F.lit(1)))
+    tris = F.transform(tri_idx, lambda i: s.substr(i, F.lit(3)))
+
+    sw_scores, tri_scores = [], []
     for lang, words in sorted(STOPWORDS.items()):
         arr = F.array(*[F.lit(w) for w in words])
         hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
         # struct sorts field-by-field: (-hits, lang) ascending ≡ argmax with
         # language-code tiebreak
-        scores.append(
+        sw_scores.append(
             F.struct((-hits).alias("neg_hits"), F.lit(lang).alias("lang"), hits.alias("hits"))
         )
-    best = F.element_at(F.array_sort(F.array(*scores)), F.lit(1))
+        tri_arr = F.array(*[F.lit(t) for t in TRIGRAMS[lang]])
+        thits = F.size(F.filter(tris, lambda t: F.array_contains(tri_arr, t)))
+        tri_scores.append(
+            F.struct((-thits).alias("neg_hits"), F.lit(lang).alias("lang"), thits.alias("hits"))
+        )
+    sw_sorted = F.array_sort(F.array(*sw_scores))
+    best = F.element_at(sw_sorted, F.lit(1))
+    second = F.element_at(sw_sorted, F.lit(2))
+    tri_best = F.element_at(F.array_sort(F.array(*tri_scores)), F.lit(1))
+    ambiguous = (best["hits"] == 0) | (best["hits"] == second["hits"])
     return docs.select(
         F.col(key_col).alias("doc_id"),
-        best["lang"].alias("detected_lang"),
+        F.when(ambiguous, tri_best["lang"]).otherwise(best["lang"]).alias("detected_lang"),
         best["hits"].alias("stopword_hits"),
+        F.when(ambiguous, tri_best["hits"]).otherwise(F.lit(0)).alias("trigram_hits"),
+        ambiguous.alias("used_trigram_fallback"),
     )
 
 
