@@ -1,12 +1,14 @@
 """Benchmark harness (driver contract).
 
 Materializes a deterministic transcripts corpus to parquet once (cached across
-runs), then times the production pipeline shape — scan → broadcast rules join →
-explicit repartition → mapInPandas extraction → aggregate — at
-local[$SPARK_GRAFT_CPUS] over $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
-Prints ONE JSON line:
+runs), then times the production pipeline shapes — extraction (general and
+rule path), minhash-LSH dedup, sessionization — at local[$SPARK_GRAFT_CPUS]
+over $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1). Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 plus turns/sec extras used by BENCH.md and tools/scaling_bench.py.
+
+SPARK_GRAFT_BENCH_MODE=skew instead times the salt knob on a hostile layout
+(one conversation holds 50% of all turns): salt_buckets=0 vs cpus*4.
 """
 
 from __future__ import annotations
@@ -43,6 +45,18 @@ _BENCH_TRANSCRIPTS_SQL = """
     CROSS JOIN (SELECT explode(sequence(0, {copies} - 1)) AS copy_n)
 """
 
+# rules covering ~half the corpus hosts with a selector that HITS the
+# boilerplate wrap ('#content p') — times the custom-rule path (2 parses/doc)
+# against the general path (4 parses/doc) on identical bytes
+_BENCH_RULES_SQL = """
+    SELECT DISTINCT 'r-' || source AS id,
+           source || '.example.com' AS domain,
+           '#content p' AS content,
+           (pmod(xxhash64(source), 2) = 0) AS enabled,
+           FALSE AS use_cloudflare
+    FROM documents
+"""
+
 
 def _force(df) -> int:
     """Materialize the full computation; returns row count."""
@@ -52,8 +66,8 @@ def _force(df) -> int:
     return row.n
 
 
-def _ensure_corpus(spark, sf_dir: str, copies: int, fixture_turns: int, cpus: int) -> dict:
-    """Write the two bench corpora to parquet once; reused across runs so both
+def _ensure_corpus(spark, sf_dir: str, copies: int, fixture_turns: int) -> dict:
+    """Write the bench corpora to parquet once; reused across runs so both
     parallelism levels read identical bytes (scaling evidence requirement)."""
     tag = sf_dir.rstrip("/").replace("/", "_")
     base = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/ukeeper_bench")
@@ -75,33 +89,68 @@ def _ensure_corpus(spark, sf_dir: str, copies: int, fixture_turns: int, cpus: in
     return paths
 
 
+def _warm(spark, cpus: int) -> None:
+    """Warm the Python UDF workers (one tiny task per slot) so measurements
+    reflect steady-state throughput, not interpreter spawn + import costs."""
+    warm = fixture_transcripts_distributed(spark, cpus * 2, partitions=cpus * 2)
+    _force(run_extraction(join_rules(warm, None), num_partitions=cpus * 2))
+
+
+def _skew_mode(spark, sf_dir: str, cpus: int) -> None:
+    """Salt-knob evidence: one conversation holds 50% of turns. Without salt,
+    conv_id-hash partitioning serializes half the corpus on one task; with
+    salt_buckets=cpus*4 the same rows spread evenly. Same bytes, same job."""
+    turns = int(os.environ.get("SPARK_GRAFT_BENCH_SKEW_TURNS", "6000"))
+    base = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/ukeeper_bench")
+    path = f"{base}/fixtures_skew_n{turns}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        fixture_transcripts_distributed(
+            spark, turns, partitions=64, skew_half=True
+        ).write.mode("overwrite").parquet(path)
+    _warm(spark, cpus)
+    queries, rates, turns_out = {}, {}, {}
+    for name, salt in (("skew_salt0", 0), ("skew_salted", cpus * 4)):
+        trans = load_transcripts(spark, path)
+        out = run_extraction(
+            join_rules(trans, None), num_partitions=cpus * 4, salt_buckets=salt
+        )
+        t0 = time.perf_counter()
+        n = _force(out)
+        dt = time.perf_counter() - t0
+        queries[name] = round(dt, 3)
+        rates[name] = round(n / dt, 1)
+        turns_out[name] = n
+    _finish(queries, rates, turns_out, sf_dir, cpus, spark)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     copies = int(os.environ.get("SPARK_GRAFT_BENCH_COPIES", "4"))
     fixture_turns = int(os.environ.get("SPARK_GRAFT_BENCH_FIXTURE_TURNS", "2400"))
+    events_copies = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS_COPIES", "1"))
 
     spark = get_spark(
         app_name=f"bench-local-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    paths = _ensure_corpus(spark, sf_dir, copies, fixture_turns, cpus)
+    if os.environ.get("SPARK_GRAFT_BENCH_MODE") == "skew":
+        _skew_mode(spark, sf_dir, cpus)
+        return
 
-    # warm the Python UDF workers (one tiny task per slot) so the measurement
-    # reflects steady-state throughput, not interpreter spawn + import costs
-    warm = fixture_transcripts_distributed(spark, cpus * 2, partitions=cpus * 2)
-    _force(run_extraction(join_rules(warm, None), num_partitions=cpus * 2))
+    paths = _ensure_corpus(spark, sf_dir, copies, fixture_turns)
+    _warm(spark, cpus)
 
     queries = {}
     rates = {}
     turns = {}
 
-    def run(name: str, path: str, batch_rows: int):
+    def run(name: str, path: str, batch_rows: int, rules=None):
         # target ~2 MB arrow batches: row count scaled to payload size
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
         trans = load_transcripts(spark, path)
-        joined = join_rules(trans, None)
+        joined = join_rules(trans, rules)
         out = run_extraction(joined, num_partitions=cpus * 4)
         t0 = time.perf_counter()
         n = _force(out)
@@ -112,29 +161,56 @@ def main() -> None:
 
     # q1: boilerplate-strip over the documents corpus (small ~1 KB docs)
     run("extract_documents_boilerplate", paths["docs"], 2048)
-    # q2: golden-fixture articles (12-17 KB real HTML — the heavy path)
+    # q2: same corpus with ~half the hosts carrying a matching custom rule —
+    # the broadcast-join + customParser path
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    run("extract_rule_path", paths["docs"], 2048, rules=spark.sql(_BENCH_RULES_SQL))
+    # q3: golden-fixture articles (12-17 KB real HTML — the heavy path)
     run("extract_fixture_articles", paths["fixtures"], 128)
 
-    # q3/q4: training-data pipeline headliners (all-JVM operators over the
-    # small sf corpora — throughput context only; excluded from scaling runs
-    # where their fixed overhead would swamp the sub-second compute)
-    if os.environ.get("SPARK_GRAFT_BENCH_SKIP_PIPELINE"):
-        _finish(queries, rates, turns, sf_dir, cpus, spark)
-        return
+    # q4: minhash-LSH dedup over the materialized corpus text (all-JVM:
+    # explode → partial-min groupBy → band shuffle → bucket self-join)
+    from ukeeper_readability_spark.pipeline import minhash_lsh_pairs
+    from ukeeper_readability_spark.pipeline.sessions import sessionize
 
-    from ukeeper_readability_spark.pipeline import (
-        cosine_topk_bruteforce,
-        minhash_lsh_pairs,
+    corpus = load_transcripts(spark, paths["docs"]).select(
+        F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias("doc_id"),
+        "text",
     )
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(cpus * 2)
     t0 = time.perf_counter()
-    npairs = minhash_lsh_pairs(docs, shingle_n=3, k=16, bands=4).count()
+    minhash_lsh_pairs(corpus, shingle_n=3, k=16, bands=4).count()
     dt = time.perf_counter() - t0
-    n_docs = docs.count()
+    n_docs = corpus.count()
     queries["dedup_minhash_lsh"] = round(dt, 3)
     rates["dedup_minhash_lsh"] = round(n_docs / dt, 1)
     turns["dedup_minhash_lsh"] = n_docs
+
+    # q5: gap sessionization over events (scaled by copies: user cardinality
+    # grows with the corpus, the realistic shape)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if events_copies > 1:
+        ev = ev.crossJoin(
+            spark.range(events_copies).select(F.col("id").alias("copy_n"))
+        ).select(
+            F.concat_ws("#", "user_id", F.col("copy_n").cast("string")).alias("user_id"),
+            "event_id", "ts", "value",
+        )
+    ev = ev.repartition(cpus * 2)
+    t0 = time.perf_counter()
+    sessionize(ev, gap_minutes=30).count()
+    dt = time.perf_counter() - t0
+    n_ev = ev.count()
+    queries["events_sessionize"] = round(dt, 3)
+    rates["events_sessionize"] = round(n_ev / dt, 1)
+    turns["events_sessionize"] = n_ev
+
+    if os.environ.get("SPARK_GRAFT_BENCH_SKIP_ANN"):
+        _finish(queries, rates, turns, sf_dir, cpus, spark)
+        return
+
+    # q6: ANN bruteforce (fixed-size corpus — throughput context only;
+    # excluded from scaling runs where its fixed overhead would swamp compute)
+    from ukeeper_readability_spark.pipeline import cosine_topk_bruteforce
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(cpus * 2)
     qs = emb.filter(F.col("vec_id") % 50 == 0).selectExpr(

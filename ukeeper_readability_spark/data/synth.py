@@ -244,12 +244,18 @@ def fixture_transcripts_df(spark, n_turns: int = 60, skew_conv_every: int = 0):
     )
 
 
-def fixture_transcripts_distributed(spark, n_turns: int, partitions: int = None):
+def fixture_transcripts_distributed(
+    spark, n_turns: int, partitions: int = None, skew_half: bool = False
+):
     """Executor-side corpus generation for bench/scaling runs: only 3 fixture
     rows leave the driver (broadcast); the n_turns expansion happens on the
     cluster (spark.range → broadcast join → concat). Payload per row is the
     fixture HTML plus a unique marker comment (stripped by the parser's comment
-    regex, so per-turn goldens still hold)."""
+    regex, so per-turn goldens still hold).
+
+    skew_half=True funnels every even row into ONE conversation (conv-00000
+    holds 50% of all turns) — the deliberately hostile layout for conv_id-hash
+    partitioning that the salt knob exists for."""
     from pyspark.sql import functions as F
 
     urls = {
@@ -262,9 +268,12 @@ def fixture_transcripts_distributed(spark, n_turns: int, partitions: int = None)
         "fid int, html string, url string",
     )
     rng = spark.range(0, n_turns, 1, partitions or spark.sparkContext.defaultParallelism)
+    conv = F.format_string("conv-%05d", (F.col("id") / 6).cast("int"))
+    if skew_half:
+        conv = F.when(F.col("id") % 2 == 0, F.lit("conv-00000")).otherwise(conv)
     t = rng.select(
         (F.col("id") % 3).cast("int").alias("fid"),
-        F.format_string("conv-%05d", (F.col("id") / 6).cast("int")).alias("conv_id"),
+        conv.alias("conv_id"),
         (F.col("id") % 6).cast("int").alias("turn_idx"),
         F.col("id").alias("i"),
     )
