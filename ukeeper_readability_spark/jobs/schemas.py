@@ -55,6 +55,11 @@ EXTRACTED_FIELDS = [
     StructField("url", StringType()),
     StructField("title", StringType()),
     StructField("excerpt", StringType()),
+    # NOT reference-parity: the reference picks the largest image by FETCHED
+    # byte size (extractor/pics.go:14-56, network probe); this engine has no
+    # network, so lead_image_url is the first <img> in document order —
+    # deterministic substitute, consumers comparing against reference service
+    # output will see different lead images (engine/pics.py docstring).
     StructField("lead_image_url", StringType()),
     StructField("images", ArrayType(StringType())),
     StructField("links", ArrayType(StringType())),
