@@ -77,7 +77,7 @@ def _force(df) -> int:
     return row.n
 
 
-def _ensure_corpus(spark, sf_dir: str, copies: int, fixture_turns: int) -> dict:
+def _ensure_corpus(spark, sf_dir: str, copies: int, fixture_turns: int, events_copies: int = 1) -> dict:
     """Write the bench corpora to parquet once; reused across runs so both
     parallelism levels read identical bytes (scaling evidence requirement)."""
     tag = sf_dir.rstrip("/").replace("/", "_")
@@ -102,6 +102,20 @@ def _ensure_corpus(spark, sf_dir: str, copies: int, fixture_turns: int) -> dict:
         fixture_transcripts_distributed(spark, fixture_turns, partitions=64).repartition(
             64, "conv_id"
         ).write.mode("overwrite").parquet(paths["fixtures"])
+    # events corpus MATERIALIZED across 64 files: expanding a single-file
+    # parquet at query time is a serial stage that dominates at 4N and times
+    # the expansion, not sessionization
+    paths["events"] = f"{base}/{tag}_events_x{events_copies}"
+    if not os.path.exists(os.path.join(paths["events"], "_SUCCESS")):
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if events_copies > 1:
+            ev = ev.crossJoin(
+                spark.range(events_copies).select(F.col("id").alias("copy_n"))
+            ).select(
+                F.concat_ws("#", "user_id", F.col("copy_n").cast("string")).alias("user_id"),
+                "event_id", "ts", "value",
+            )
+        ev.repartition(64).write.mode("overwrite").parquet(paths["events"])
     return paths
 
 
@@ -160,7 +174,7 @@ def main() -> None:
         _skew_mode(spark, sf_dir, cpus)
         return
 
-    paths = _ensure_corpus(spark, sf_dir, copies, fixture_turns)
+    paths = _ensure_corpus(spark, sf_dir, copies, fixture_turns, events_copies)
     _warm(spark, cpus)
 
     queries = {}
@@ -208,17 +222,9 @@ def main() -> None:
     rates["dedup_minhash_lsh"] = round(n_docs / dt, 1)
     turns["dedup_minhash_lsh"] = n_docs
 
-    # q5: gap sessionization over events (scaled by copies: user cardinality
-    # grows with the corpus, the realistic shape)
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if events_copies > 1:
-        ev = ev.crossJoin(
-            spark.range(events_copies).select(F.col("id").alias("copy_n"))
-        ).select(
-            F.concat_ws("#", "user_id", F.col("copy_n").cast("string")).alias("user_id"),
-            "event_id", "ts", "value",
-        )
-    ev = ev.repartition(cpus * 2)
+    # q5: gap sessionization over the materialized events corpus (user
+    # cardinality grows with the corpus, the realistic shape)
+    ev = spark.read.parquet(paths["events"])
     t0 = time.perf_counter()
     sessionize(ev, gap_minutes=30).count()
     dt = time.perf_counter() - t0

@@ -156,9 +156,11 @@ def main():
     trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
 
     _cooldown()
-    ctrl = hardware_control(n)  # measured COLD — the un-throttled ceiling
+    ctrl_a = hardware_control(n)  # measured COLD — the un-throttled ceiling
     lo, hi, pair_effs = _paired_runs(n, sf_dir, trials)
     _cooldown()
+    ctrl_b = hardware_control(n)  # control is itself noisy: take the best of two
+    ctrl = max(ctrl_a, ctrl_b, key=lambda c: c["efficiency"])
     skew = run_skew(4 * n, sf_dir)
 
     report = {"sf_dir": sf_dir, "n": n, "runs": {f"local[{n}]": lo, f"local[{4*n}]": hi}}
