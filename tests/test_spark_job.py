@@ -175,3 +175,35 @@ def test_rules_store_merge_semantics(spark):
     disabled = {r.id: r for r in disable_rule(rules, "id2").collect()}
     assert disabled["id2"].enabled is False
     assert disabled["id1"].enabled is True
+
+
+def test_binary_body_extraction_through_spark(spark):
+    """run_extraction_bytes: cp1251 bytes with a body meta decode through the
+    full mapInPandas plan; the reported charset stays the header label while
+    content round-trips the Cyrillic payload (engine/charset.py semantics)."""
+    payload = (
+        '<html><head><meta charset="windows-1251"><title>Тест N</title></head>'
+        "<body><div><p>слово " + "далее " * 60 + "конец</p></div></body></html>"
+    )
+    rows = [
+        (f"conv-{i}", 0, payload.replace("N", str(i)).encode("cp1251"),
+         "text/html; charset=windows-1251", f"http://h{i}.example.com/p", "tool")
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, body_bytes binary, "
+        "header_content_type string, tool string, role string",
+    )
+    from ukeeper_readability_spark.jobs.extract_job import run_extraction_bytes
+
+    joined = df.withColumn("rule_content", F.lit(None).cast("string")).withColumn(
+        "routed_cloudflare", F.lit(False)
+    )
+    out = {r.conv_id: r for r in run_extraction_bytes(joined, snippet_size=100).collect()}
+    assert len(out) == 6
+    for i in range(6):
+        r = out[f"conv-{i}"]
+        assert r.charset == "windows-1251" and r.type == "text/html"
+        assert r.title == f"Тест {i}"
+        assert r.content.startswith("слово далее") and r.content.endswith("конец")
