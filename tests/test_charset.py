@@ -167,3 +167,65 @@ def test_roundtrip_various_charsets(payload, enc_label, codec):
     _, enc, text = to_utf8(html.encode(codec), f"text/html; charset={enc_label}")
     assert payload in text
     assert enc == enc_label
+
+
+def test_charmap_overrides_match_reference_tables():
+    """Cells where Python codecs diverge from the vendored x/text charmaps
+    (vendor/golang.org/x/text/encoding/charmap/tables.go; diff enumerated by
+    tools/gen_charmap_overrides.py)."""
+    # ISO-8859-2..16: 0x80-0x9F unassigned in WHATWG -> U+FFFD, not C1 controls
+    body = b'<meta charset="iso-8859-2">\x80\x9fA'
+    _, _, text = to_utf8(body, "text/html; charset=iso-8859-2")
+    assert text.endswith("��A")
+    # koi8-u 0xAE/0xBE -> WHATWG ů/Ů cyrillic short-u, not box drawing
+    body = b'<meta charset="koi8-u">\xae\xbe'
+    _, _, text = to_utf8(body, "text/html; charset=koi8-u")
+    assert text.endswith("ўЎ")
+    # cp1255 0xCA -> U+05BA (unassigned in the Python codec)
+    body = b'<meta charset="windows-1255">\xca'
+    _, _, text = to_utf8(body, "text/html; charset=windows-1255")
+    assert text.endswith("ֺ")
+
+
+def test_nop_path_preserves_invalid_bytes():
+    """encoding.Nop parity (x/net/html/charset charset.go:69-76): invalid
+    UTF-8 under the Nop/declared-utf-8 paths round-trips byte-exactly via
+    surrogateescape + gostr.utf8_bytes, and counts 1 byte per invalid byte
+    like Go len()."""
+    from ukeeper_readability_spark.htmldom.gostr import (
+        to_valid_utf8,
+        utf8_bytes,
+        utf8_len,
+    )
+
+    # declared utf-8: transform skipped entirely (text.go:90)
+    raw = b"<p>ok \xff\x80\xfe then</p>"
+    _, enc, text = to_utf8(raw, "text/html; charset=utf-8")
+    assert enc == "utf-8"
+    assert utf8_bytes(text) == raw
+    assert utf8_len(text) == len(raw)
+
+    # Nop via sniff: first 1024 bytes valid UTF-8, corrupt bytes later
+    raw2 = ("<p>" + "é" * 600 + "</p>").encode("utf-8") + b"<p>tail \x80\xff</p>"
+    _, _, text2 = to_utf8(raw2)
+    assert utf8_bytes(text2) == raw2
+
+    # columnar boundary: surrogates scrub to per-byte U+FFFD
+    assert to_valid_utf8(text) == "<p>ok ��� then</p>"
+
+
+def test_extraction_pipeline_with_corrupt_bytes():
+    """extract_document_bytes end-to-end on a corrupt-byte document: no crash,
+    content survives, and the corrupt bytes inside extracted text stay
+    byte-preserving at the engine level."""
+    from ukeeper_readability_spark.engine.extract import extract_document_bytes
+    from ukeeper_readability_spark.htmldom.gostr import utf8_bytes
+
+    para = "Real article text. " * 30
+    raw = (
+        "<html><head><title>t</title></head><body><div><p>"
+        + para + "corrupt:"
+    ).encode("utf-8") + b"\x80\xfe" + ("</p><p>" + para + "</p></div></body></html>").encode("utf-8")
+    res = extract_document_bytes(raw, "http://example.com/a", header_content_type="text/html; charset=utf-8")
+    assert "Real article text." in res["content"]
+    assert b"corrupt:\x80\xfe" in utf8_bytes(res["content"])

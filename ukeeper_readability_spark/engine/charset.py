@@ -15,11 +15,20 @@ sniff → windows-1252 fallback (charset.go:52-102). A body whose only charset
 signal is the HTTP header is decoded as windows-1252, faithfully.
 
 Decode error behavior: the vendored x/text charmap tables map bytes with no
-assignment to U+FFFD (tables.go, e.g. windows-1251 0x98), which is exactly
-Python's errors='replace'. The one divergence: Go's encoding.Nop passes
-invalid UTF-8 bytes through raw (Go strings tolerate them); Python strs can't,
-so the Nop path decodes utf-8 with errors='replace' — identical output for
-valid input, U+FFFD instead of raw bytes for invalid (documented stand-in).
+assignment to U+FFFD (tables.go, e.g. windows-1251 0x98). Python's
+errors='replace' mostly matches, but diverges at 387 cells (verified by
+tools/gen_charmap_overrides.py diffing every vendored charmap against the
+stdlib codec): the ISO-8859-2..16 C1 range 0x80-0x9F decodes to control chars
+in Python but U+FFFD in x/text, koi8-u 0xAE/0xBE decode to box-drawing chars
+instead of WHATWG's ў/Ў, and cp1255 0xCA is unassigned in Python but U+05BA
+in WHATWG. Those codecs decode through _CODEC_OVERRIDES translate tables so
+the output is cell-for-cell identical to the reference.
+
+Go's encoding.Nop passes invalid UTF-8 bytes through raw (Go strings tolerate
+them); Python strs can't, so the Nop path decodes utf-8 with
+errors='surrogateescape' — identical output for valid input, and
+byte-preserving for invalid input (re-encoding with surrogateescape restores
+the original bytes exactly; see utf8_len/reencode in sanitize_text).
 """
 
 from __future__ import annotations
@@ -164,6 +173,44 @@ _add("x-user-defined", "x-user-defined")
 
 _NOP = ("nop",)
 _ASCII_WS = " \t\n\f\r"
+
+# ---------------------------------------------------------------------------
+# Cells where the Python stdlib codec diverges from the reference's vendored
+# x/text charmap decode tables (vendor/golang.org/x/text/encoding/charmap/
+# tables.go — WHATWG encoding-standard indexes). Generated + verified by
+# tools/gen_charmap_overrides.py, which diffs every vendored charmap against
+# the stdlib codec cell-by-cell. Three families of divergence exist:
+#   * ISO-8859-2..16: Python decodes 0x80-0x9F to C1 controls; WHATWG/x/text
+#     leave them unassigned → U+FFFD.
+#   * koi8-u: Python (RFC 2319) keeps box-drawing at 0xAE/0xBE; WHATWG maps
+#     them to ў (U+045E) / Ў (U+040E).
+#   * cp1255: Python leaves 0xCA unassigned; WHATWG maps it to U+05BA.
+# ---------------------------------------------------------------------------
+
+_C1_FFFD_CODECS = frozenset(
+    "iso8859-%d" % n for n in (2, 3, 4, 5, 6, 7, 8, 10, 13, 14, 15, 16)
+)
+_CODEC_OVERRIDES = {
+    "koi8-u": {0xAE: "ў", 0xBE: "Ў"},
+    "cp1255": {0xCA: "ֺ"},
+}
+_DECODE_TABLES: dict = {}
+
+
+def _decode_table(codec: str):
+    """256-entry latin-1→target translate table for a divergent codec."""
+    tbl = _DECODE_TABLES.get(codec)
+    if tbl is None:
+        over = dict(_CODEC_OVERRIDES.get(codec, ()))
+        if codec in _C1_FFFD_CODECS:
+            for b in range(0x80, 0xA0):
+                over[b] = "�"
+        tbl = str.maketrans({
+            chr(i): over.get(i, bytes((i,)).decode(codec, errors="replace"))
+            for i in range(256)
+        })
+        _DECODE_TABLES[codec] = tbl
+    return tbl
 
 # ASCII-only lowercasing (Go prescan lowers only A-Z in place; full .lower()
 # would also fold non-ASCII, which Go does not — charset.go:170-174)
@@ -343,15 +390,20 @@ def decode_bytes(content: bytes, spec: tuple) -> str:
     kind = spec[0]
     if kind == "nop":
         # Go passes raw bytes through; Python strs can't hold invalid UTF-8,
-        # so invalid sequences become U+FFFD (documented stand-in).
-        return content.decode("utf-8", errors="replace")
+        # so invalid bytes become surrogateescape chars — byte-preserving
+        # (htmldom.gostr.utf8_bytes restores the exact input) and counted as
+        # 1 byte by the Go-len helpers, matching encoding.Nop.
+        return content.decode("utf-8", errors="surrogateescape")
     if kind == "userdef":
         return "".join(
             chr(b) if b < 0x80 else chr(0xF780 + b - 0x80) for b in content
         )
     if kind == "replacement":
         return "�" if content else ""
-    return content.decode(spec[1], errors="replace")
+    codec = spec[1]
+    if codec in _C1_FFFD_CODECS or codec in _CODEC_OVERRIDES:
+        return content.decode("latin-1").translate(_decode_table(codec))
+    return content.decode(codec, errors="replace")
 
 
 def charset_new_reader(content: bytes, content_type: str) -> str:
@@ -389,5 +441,7 @@ def to_utf8(
     if encoding != "utf-8":
         result = charset_new_reader(content, encoding)
     else:
-        result = content.decode("utf-8", errors="replace")
+        # declared utf-8 skips the transform entirely in Go (text.go:90) —
+        # the body passes through raw, so byte-preserve here too
+        result = content.decode("utf-8", errors="surrogateescape")
     return content_type, encoding, result

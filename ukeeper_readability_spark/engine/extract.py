@@ -14,6 +14,7 @@ from typing import Optional
 from urllib.parse import urlsplit
 
 from ..htmldom import find_all, inner_html, parse
+from ..htmldom.gostr import utf8_len
 from ..htmldom.parser import parse_head
 from .links import normalize_links
 from .pics import extract_pics
@@ -173,9 +174,7 @@ def extract_document(
         "metrics": {
             "nodes_scored": meta.get("nodes_scored", 0),
             "candidates_rejected": meta.get("candidates_rejected", 0),
-            "bytes_stripped": max(
-                0, len(body.encode("utf-8", "surrogatepass")) - len(content.encode("utf-8", "surrogatepass"))
-            ),
+            "bytes_stripped": max(0, utf8_len(body) - utf8_len(content)),
             "rule_hit": meta.get("rule_hit", 0),
             "general_parse": meta.get("general_parse", 0),
             "retries_relaxed": meta.get("retries_relaxed", 0),

@@ -17,6 +17,8 @@ from __future__ import annotations
 import re
 from urllib.parse import urljoin, urlsplit
 
+from ..htmldom.gostr import utf8_bytes
+
 RE_LINKS = re.compile(r'(href|src|action|background)="([^"]*)"')
 
 _HEX = "0123456789ABCDEFabcdef"
@@ -39,7 +41,7 @@ def _escape_path(path: str) -> str:
         if c in _PATH_SAFE:
             out.append(c)
         else:
-            out.extend(f"%{b:02X}" for b in c.encode("utf-8"))
+            out.extend(f"%{b:02X}" for b in utf8_bytes(c))
         i += 1
     return "".join(out)
 

@@ -26,6 +26,7 @@ from ..htmldom import (
     parse,
     siblings_then_self,
 )
+from ..htmldom.gostr import utf8_len
 from ..htmldom.query import count_descendant_tags, link_and_text_bytes
 from ..htmldom.node import Node
 
@@ -61,8 +62,8 @@ _SELECTOR_CLEAN = "table,ul,div"
 
 
 def _blen(s: str) -> int:
-    """Go len(string): UTF-8 byte length."""
-    return len(s.encode("utf-8", "surrogatepass"))
+    """Go len(string): UTF-8 byte length; invalid input bytes count as 1."""
+    return utf8_len(s)
 
 
 def _trim_bytes_len(s: str) -> int:

@@ -14,6 +14,7 @@ child (>), and comma groups — covers per-domain rules like ".content p" and
 
 from __future__ import annotations
 
+from .gostr import utf8_len
 from .node import ELEMENT_NODE, TEXT_NODE, Node
 
 # ---------------------------------------------------------------------------
@@ -270,7 +271,7 @@ def link_and_text_bytes(n: Node) -> tuple:
     while stack:
         nd, a_depth = stack.pop()
         if nd.type == TEXT_NODE and nd.data:
-            b = len(nd.data.encode("utf-8", "surrogatepass"))
+            b = utf8_len(nd.data)
             total += b
             if a_depth:
                 link += b * a_depth

@@ -150,6 +150,7 @@ def _extract_batches_inner(
     import gc
 
     from ..engine.extract import extract_document_bytes
+    from ..htmldom.gostr import to_valid_utf8 as _valid
 
     for pdf in batches:
         out = {k: [] for k in (
@@ -175,6 +176,12 @@ def _extract_batches_inner(
                     snippet_size=snippet_size,
                     header_content_type=headers[i] if headers[i] else None,
                 )
+                # Arrow string columns must be valid UTF-8: corrupt input
+                # bytes survive the engine as surrogateescape chars (Go Nop
+                # parity, engine/charset.py) and become U+FFFD only here, at
+                # the columnar boundary.
+                for k in ("content", "rich_content", "title", "excerpt"):
+                    r[k] = _valid(r[k])
             else:
                 r = extract_document(
                     texts[i] if texts[i] is not None else "",
