@@ -20,8 +20,11 @@ from pyspark.sql import functions as F
 
 from ukeeper_readability_spark.data.synth import (
     BOILERPLATE_WRAP_SQL,
+    CLEAN_TEXT_GUARD,
+    CONV_ID_SQL,
     PLAIN_WRAP_SQL,
     RULES_FROM_NATION_SQL,
+    TURN_IDX_SQL,
     excerpt_sql,
     transcripts_from_documents_sql,
 )
@@ -698,6 +701,65 @@ _ORACLE_PREVIEW_RULE = f"""
 """
 
 
+# --- cascadia-parity rule selectors (P3 / htmldom/selector.py) --------------
+# Wraps place the payload behind selector features the round-2 engine could
+# not express: an attribute-selector + child + :nth-child rule, an
+# adjacent-sibling rule, and an INVALID rule that must fall back to the
+# general parser (goquery compileMatcher → invalidMatcher, type.go:166-176;
+# reference rules are arbitrary user CSS via POST /api/rule,
+# rest/server.go:277-309 matched by vendor/github.com/andybalholm/cascadia).
+ATTR_WRAP_SQL = (
+    "'<html><head><title>Doc ' || doc_id || '</title></head><body>"
+    "<div itemprop=\"articleBody\" data-kind=\"main\"><p>' || text || '</p>"
+    "<p>decoy trailing paragraph never selected by the nth-child rule</p></div>"
+    "<div class=\"content\"><p>decoy sidebar content</p></div>"
+    "</body></html>'"
+)
+LEAD_WRAP_SQL = (
+    "'<html><head><title>Doc ' || doc_id || '</title></head><body>"
+    "<div class=\"content\"><p class=\"lead\">lead intro paragraph decoy</p>"
+    "<p>' || text || '</p></div></body></html>'"
+)
+
+_ATTR_SELECTOR_VARIANTS = (
+    ("attr_nth", ATTR_WRAP_SQL, 'div[itemprop="articleBody"] > p:nth-child(1)'),
+    ("sibling", LEAD_WRAP_SQL, "p.lead + p"),
+    ("fallback", PLAIN_WRAP_SQL, "div[itemprop="),  # invalid → general parser
+)
+
+
+def _q_rule_attr_selector(spark, sf_dir):
+    """Attribute/:nth-child/sibling selectors through the rule path, plus the
+    invalid-selector general fallback, value-hash-gated (VERDICT r2 item 1)."""
+    from ukeeper_readability_spark.jobs.extract_job import extract_by_rule
+
+    out = None
+    for variant, wrap, rule in _ATTR_SELECTOR_VARIANTS:
+        trans = _transcripts(spark, sf_dir, wrap)
+        res = extract_by_rule(trans, rule, snippet_size=SNIPPET).select(
+            F.lit(variant).alias("variant"),
+            "conv_id", "turn_idx", "content", "rich_content",
+        )
+        out = res if out is None else out.unionByName(res)
+    return out
+
+
+def _oracle_rule_attr_selector() -> str:
+    return f"""
+        WITH t AS (
+            SELECT doc_id, {CONV_ID_SQL} AS conv_id, {TURN_IDX_SQL} AS turn_idx, text
+            FROM documents WHERE {CLEAN_TEXT_GUARD}
+        )
+        SELECT 'attr_nth' AS variant, conv_id, turn_idx,
+               text AS content, text AS rich_content FROM t
+        UNION ALL
+        SELECT 'sibling', conv_id, turn_idx, text, text FROM t
+        UNION ALL
+        SELECT 'fallback', conv_id, turn_idx, text,
+               {_GENERAL_RICH_SQL.replace('d.text', 'text')} FROM t
+    """
+
+
 def _q_media_features(spark, sf_dir):
     media = synthesize_media(spark, _docs(spark, sf_dir))
     return media_features(media, num_partitions=8)
@@ -822,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact_pii": _q_redact_pii,
         "events_sessionize": _q_sessionize,
         "extract_preview_rule": _q_preview_rule,
+        "extract_rule_attr_selector": _q_rule_attr_selector,
         "extract_sibling_merge": _q_sibling_merge,
         "extract_ordered_window": _q_ordered_extraction,
         "extract_charset_meta": _q_charset_meta,
@@ -861,6 +924,7 @@ def oracle_sql() -> dict[str, str]:
         "text_redact_pii": _oracle_redact_pii(),
         "events_sessionize": _ORACLE_SESSIONIZE,
         "extract_preview_rule": _ORACLE_PREVIEW_RULE,
+        "extract_rule_attr_selector": _oracle_rule_attr_selector(),
         "extract_sibling_merge": _oracle_sibling_merge(),
         "extract_ordered_window": _ORACLE_ORDERED,
         "extract_charset_meta": _oracle_charset_meta(),

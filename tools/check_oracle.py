@@ -29,7 +29,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
-def main(sf_dir: str):
+def main(sf_dir: str, only: set | None = None):
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -39,6 +39,8 @@ def main(sf_dir: str):
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
@@ -78,4 +80,8 @@ def main(sf_dir: str):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
+    # usage: check_oracle.py [sf_dir] [query1,query2,...]
+    main(
+        sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+        set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None,
+    )

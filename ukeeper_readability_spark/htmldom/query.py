@@ -1,151 +1,46 @@
-"""goquery-equivalent traversal helpers and a small CSS selector engine.
+"""goquery-equivalent traversal helpers over the cascadia-parity selector engine.
 
-Implements the exact subset the reference exercises: Find(selector) in document
-pre-order (goquery/cascadia), Text() (concatenated text-node data, recursing into
+Implements what the reference exercises: Find(selector) in document pre-order
+(goquery/cascadia), Text() (concatenated text-node data, recursing into
 children even of converted text nodes — goquery utilities.go getNodeText),
 Siblings()+Union ordering (siblings in document order, self appended last —
 goquery expand.go / the order getArticle depends on,
 vendor/.../go-readability/readability.go:185).
 
-Selector support: tag, #id, .class, compounds (tag#id.cls), descendant (space),
-child (>), and comma groups — covers per-domain rules like ".content p" and
-"#content p, .post-title" (reference readability_test.go:205,347).
+Selector grammar/matching live in htmldom/selector.py (full cascadia parity:
+attribute selectors, +/~ combinators, :nth-* and the rest). Invalid selectors
+match NOTHING, mirroring goquery's invalidMatcher (goquery type.go:166-176) —
+a bad per-site rule thereby falls back to the general parser like the
+reference does.
 """
 
 from __future__ import annotations
 
 from .gostr import utf8_len
 from .node import ELEMENT_NODE, TEXT_NODE, Node
+from .selector import SelectorError, _Group, _NeverMatch, _TagSel, parse_group
 
-# ---------------------------------------------------------------------------
-# CSS selector subset
-# ---------------------------------------------------------------------------
-
-
-class _Simple:
-    __slots__ = ("tag", "id", "classes")
-
-    def __init__(self, tag=None, id_=None, classes=None):
-        self.tag = tag
-        self.id = id_
-        self.classes = classes or []
-
-    def matches(self, n: Node) -> bool:
-        if n.type != ELEMENT_NODE:
-            return False
-        if self.tag is not None and n.data != self.tag:
-            return False
-        if self.id is not None and n.get_attr("id") != self.id:
-            return False
-        if self.classes:
-            cls = n.get_attr("class")
-            if cls is None:
-                return False
-            have = cls.split()
-            for c in self.classes:
-                if c not in have:
-                    return False
-        return True
-
-
-class _Chain:
-    """Compound selector chain: [( combinator, _Simple ), ...] left-to-right.
-
-    combinator: ' ' descendant, '>' child; first entry's combinator is ignored.
-    """
-
-    __slots__ = ("parts",)
-
-    def __init__(self, parts):
-        self.parts = parts
-
-    def matches(self, n: Node) -> bool:
-        idx = len(self.parts) - 1
-        if not self.parts[idx][1].matches(n):
-            return False
-        node = n
-        idx -= 1
-        while idx >= 0:
-            comb = self.parts[idx + 1][0]
-            simple = self.parts[idx][1]
-            if comb == ">":
-                node = node.parent
-                if node is None or not simple.matches(node):
-                    return False
-            else:  # descendant
-                node = node.parent
-                while node is not None and not simple.matches(node):
-                    node = node.parent
-                if node is None:
-                    return False
-            idx -= 1
-        return True
-
-
-def _parse_simple(tok: str) -> _Simple:
-    tag = None
-    id_ = None
-    classes = []
-    i = 0
-    n = len(tok)
-    # leading tag or '*'
-    j = i
-    while j < n and tok[j] not in "#.":
-        j += 1
-    if j > i:
-        t = tok[i:j].lower()
-        if t != "*":
-            tag = t
-    i = j
-    while i < n:
-        marker = tok[i]
-        i += 1
-        j = i
-        while j < n and tok[j] not in "#.":
-            j += 1
-        name = tok[i:j]
-        if marker == "#":
-            id_ = name
-        else:
-            classes.append(name)
-        i = j
-    return _Simple(tag, id_, classes)
-
+_NEVER = _Group([_NeverMatch()])
 
 _SELECTOR_CACHE: dict = {}
 
 
 def compile_selector(sel: str):
-    """Compile a selector group into a list of _Chain (memoized)."""
+    """Compile a selector group (memoized).
+
+    Invalid selectors compile to a never-matching group — goquery
+    compileMatcher semantics (type.go:166-176), not an exception.
+    """
     cached = _SELECTOR_CACHE.get(sel)
     if cached is not None:
         return cached
-    chains = _compile_selector_uncached(sel)
+    try:
+        group = parse_group(sel)
+    except SelectorError:
+        group = _NEVER
     if len(_SELECTOR_CACHE) < 4096:
-        _SELECTOR_CACHE[sel] = chains
-    return chains
-
-
-def _compile_selector_uncached(sel: str):
-    chains = []
-    for group in sel.split(","):
-        group = group.strip()
-        if not group:
-            continue
-        # normalize child combinator spacing
-        group = group.replace(">", " > ")
-        toks = group.split()
-        parts = []
-        comb = " "
-        for tok in toks:
-            if tok == ">":
-                comb = ">"
-                continue
-            parts.append((comb, _parse_simple(tok)))
-            comb = " "
-        if parts:
-            chains.append(_Chain(parts))
-    return chains
+        _SELECTOR_CACHE[sel] = group
+    return group
 
 
 def _iter_descendants(root: Node):
@@ -168,20 +63,16 @@ def _iter_descendants(root: Node):
 _TAG_ONLY_CACHE: dict = {}
 
 
-def _tag_only_set(chains, key):
-    """If every chain is a single tag-only simple selector, return the tag set."""
+def _tag_only_set(group, key):
+    """If every group member is a plain tag selector, return the tag set."""
     if key in _TAG_ONLY_CACHE:
         return _TAG_ONLY_CACHE[key]
     tags = set()
-    for ch in chains:
-        if len(ch.parts) != 1:
+    for sel in group.sels:
+        if type(sel) is not _TagSel:
             tags = None
             break
-        simple = ch.parts[0][1]
-        if simple.tag is None or simple.id is not None or simple.classes:
-            tags = None
-            break
-        tags.add(simple.tag)
+        tags.add(sel.tag)
     if len(_TAG_ONLY_CACHE) < 4096:
         _TAG_ONLY_CACHE[key] = tags
     return tags
@@ -190,10 +81,10 @@ def _tag_only_set(chains, key):
 def find_all(root: Node, selector) -> list:
     """goquery Find(): matching element descendants, document order, snapshot."""
     if isinstance(selector, str):
-        chains = compile_selector(selector)
-        tags = _tag_only_set(chains, selector)
+        group = compile_selector(selector)
+        tags = _tag_only_set(group, selector)
     else:
-        chains = selector
+        group = selector
         tags = None
     if tags is not None:
         # fast path: plain tag-set selectors ("p,td", "div", "script,style,…")
@@ -201,15 +92,8 @@ def find_all(root: Node, selector) -> list:
             n for n in _iter_descendants(root)
             if n.type == ELEMENT_NODE and n.data in tags
         ]
-    result = []
-    for n in _iter_descendants(root):
-        if n.type != ELEMENT_NODE:
-            continue
-        for ch in chains:
-            if ch.matches(n):
-                result.append(n)
-                break
-    return result
+    match = group.match
+    return [n for n in _iter_descendants(root) if match(n)]
 
 
 def find_elements(root: Node) -> list:
