@@ -113,3 +113,55 @@ def test_lsh_ivf_exact_within_bucket(spark, clustered, cluster_queries):
     assert out, "no neighbors returned"
     for r in out:
         assert buckets[r.query_id] == buckets[r.neighbor_id]
+
+
+@pytest.fixture(scope="module")
+def overlapping(spark):
+    """Two strongly-OVERLAPPING blobs (separation 0.4 on axis 0, noise 0.3
+    per coordinate): a boundary query's true top-k spans both k-means cells,
+    the regime single-probe IVF demonstrably loses and multi-probe exists for
+    (VERDICT r2 item 4)."""
+    rows = []
+    for i in range(200):
+        side = 1.0 if i % 2 == 0 else -1.0
+        vec = [side * 0.2 + 0.3 * _unit(f"o{i}-0")] + [
+            0.3 * _unit(f"o{i}-{j}") for j in range(1, DIM)
+        ]
+        rows.append((i, [float(x) for x in vec]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_multiprobe_beats_single_on_overlap(spark, overlapping):
+    queries = overlapping.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = kmeans_fit(overlapping, n_clusters=2, iters=4)
+    exact = cosine_topk_bruteforce(overlapping, queries, k=5)
+    rec = {}
+    for probes in (1, 2):
+        approx = cosine_topk_ivf_kmeans(
+            overlapping, queries, cents, k=5, n_probes=probes
+        )
+        rec[probes] = (
+            ann_recall_vs_bruteforce(approx, exact, k=5)
+            .agg(F.avg("recall"))
+            .collect()[0][0]
+        )
+    # single probe loses cross-boundary neighbors; probing both cells covers
+    # the whole corpus, so recall must be exactly 1.0
+    assert rec[1] < 0.9, f"single-probe recall {rec[1]} — corpus not hard enough"
+    assert rec[2] == 1.0, f"two-probe recall {rec[2]}"
+
+
+def test_kmeans_clamps_n_clusters_to_corpus_size(spark):
+    """ADVICE r2: fewer rows than n_clusters must not IndexError — clamp."""
+    small = spark.createDataFrame(
+        [(i, [float(i), 0.0, 0.0]) for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = kmeans_fit(small, n_clusters=8, iters=2)
+    assert len(cents) == 3
+
+    empty = small.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError):
+        kmeans_fit(empty, n_clusters=4, iters=1)

@@ -142,6 +142,12 @@ def test_embedding_near_dup_hot_bucket_cap(spark):
     uncapped = embedding_near_duplicates(emb, threshold=0.9, max_bucket=1000)
     assert uncapped.count() == 20 * 19 // 2 + 1
 
+    # the cap is auditable, never silent (ADVICE r3): dropped buckets + sizes
+    from ukeeper_readability_spark.pipeline import embedding_dropped_buckets
+
+    dropped = embedding_dropped_buckets(emb, max_bucket=5).collect()
+    assert [(r.bucket, r.bucket_size) for r in dropped] == [(0, 20)]
+
 
 def test_ngram_jaccard_semijoin_prunes_noncandidates(spark, docs):
     """Shingles of docs in no candidate pair must not reach the wide join:

@@ -80,3 +80,71 @@ def test_filter_pushdown_reaches_scan(spark, transcripts_path):
     plan = _plan(q)
     assert "PushedFilters" in plan and "conv_id" in plan
     assert "IsNotNull(conv_id)" in plan or "EqualTo(conv_id" in plan, plan
+
+
+@pytest.fixture(scope="module")
+def emb_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plan") / "embeddings")
+    rows = [(i, [float((i * 7 + j) % 5 - 2) for j in range(8)]) for i in range(60)]
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.parquet(p)
+    return p
+
+
+def test_ivf_lsh_plan_shape(spark, emb_path):
+    """The 100 TB shape of the LSH IVF search: candidates shuffle ONCE on the
+    computed bucket key; the query side is a BroadcastExchange (small Q),
+    never a SortMergeJoin (VERDICT r2 item 7)."""
+    from ukeeper_readability_spark.pipeline import cosine_topk_ivf_lsh
+
+    emb = spark.read.parquet(emb_path)
+    queries = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = _plan(
+        cosine_topk_ivf_lsh(emb, queries, k=3, n_planes=4, dim=8, n_probes=2)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # shuffles: only for the window rank (+ optional distinct agg) on the
+    # bucket-joined result — the bucket join itself must not shuffle the corpus
+    join_part = plan.split("BroadcastHashJoin")[-1]  # below the join: scan side
+    assert "Exchange hashpartitioning" not in join_part, plan
+
+
+def test_ivf_kmeans_plan_shape(spark, emb_path):
+    from ukeeper_readability_spark.pipeline import (
+        cosine_topk_ivf_kmeans,
+        kmeans_fit,
+    )
+
+    emb = spark.read.parquet(emb_path)
+    queries = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = kmeans_fit(emb, n_clusters=3, iters=1)
+    plan = _plan(cosine_topk_ivf_kmeans(emb, queries, cents, k=3, n_probes=2))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    join_part = plan.split("BroadcastHashJoin")[-1]
+    assert "Exchange hashpartitioning" not in join_part, plan
+
+
+def test_ngram_jaccard_semi_join_not_forced_broadcast(spark):
+    """VERDICT r2 item 3: the candidate-id prune must NOT carry a mandatory
+    broadcast hint — at 100 TB the candidate set can be billions of ids.
+    With AQE free to choose, the unhinted plan must still contain the
+    left-semi prune. We assert no broadcast HINT survives in the analyzed
+    plan (AQE may still pick a broadcast at runtime for small inputs —
+    that's the point)."""
+    from ukeeper_readability_spark.pipeline.dedup import ngram_jaccard
+
+    docs = spark.createDataFrame(
+        [(i, "w%d x y z a b c" % i) for i in range(20)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "doc_a long, doc_b long")
+    out = ngram_jaccard(docs, pairs)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed, analyzed
+    assert "LeftSemi" in analyzed, analyzed
+    # still correct
+    assert out.count() == 2

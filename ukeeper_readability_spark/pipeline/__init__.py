@@ -12,8 +12,10 @@ from .similarity import (
     cosine_topk_bucketed,
     cosine_topk_ivf_kmeans,
     cosine_topk_ivf_lsh,
+    embedding_dropped_buckets,
     embedding_near_duplicates,
     kmeans_fit,
+    probe_centroids,
     with_hyperplane_bucket,
     with_kmeans_bucket,
 )
@@ -29,6 +31,8 @@ __all__ = [
     "synthesize_media",
     "cosine_topk_bruteforce",
     "embedding_near_duplicates",
+    "embedding_dropped_buckets",
+    "probe_centroids",
     "cosine_topk_bucketed",
     "cosine_topk_ivf_lsh",
     "cosine_topk_ivf_kmeans",

@@ -157,7 +157,11 @@ def ngram_jaccard(
 
     Shingles are semi-join-pruned to docs that appear in a candidate pair
     BEFORE any wide join: at corpus scale most docs are in no pair, and their
-    shingles must not ride through the doc_a join shuffle.
+    shingles must not ride through the doc_a join shuffle. The semi-join is
+    deliberately UNHINTED (VERDICT r2 item 3): the LSH candidate set can be
+    billions of ids at 100 TB, so a forced broadcast would OOM the driver —
+    AQE broadcasts it when its runtime size is small and shuffles otherwise;
+    the prune itself is the win, not the broadcast.
     """
     cand = (
         pairs.select(F.col("doc_a").alias("doc_id"))
@@ -165,7 +169,7 @@ def ngram_jaccard(
         .distinct()
     )
     sh = _shingles(docs, text_col, key_col, shingle_n).join(
-        F.broadcast(cand), "doc_id", "left_semi"
+        cand, "doc_id", "left_semi"
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")

@@ -283,3 +283,89 @@ def ann_ivf_lsh_sql(k: int = 5, query_mod: int = 50, n_planes: int = 4, dim: int
         SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
         FROM ranked WHERE rank <= {k}
     """
+
+
+def ann_ivf_kmeans_sql(
+    k: int = 5,
+    query_mod: int = 50,
+    n_clusters: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    n_probes: int = 2,
+) -> str:
+    """Lloyd's k-means IVF oracle: replicates similarity.kmeans_fit exactly —
+    init = vectors of the n_clusters lowest ids; per iteration, assignment is
+    argmin over 6dp-ROUNDED squared distance (cluster-id tie-break) and the
+    update rounds each per-dimension avg to 6dp (empty clusters keep the
+    previous centroid); queries probe their n_probes nearest cells. The
+    rounding grain (1e-6) dwarfs cross-engine FP-sum-order noise (~1e-12), so
+    the whole fit+search is value-hash comparable — same portability pattern
+    as ann_ivf_lsh_sql."""
+    dist = (
+        "list_aggregate(list_transform(list_zip(e.v, {c}.cv), "
+        "z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum')"
+    )
+    ctes = [
+        "emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""cent0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS c,
+                   v AS cv
+            FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {n_clusters})
+        )""",
+    ]
+    for it in range(1, iters + 1):
+        prev = f"cent{it - 1}"
+        d = dist.format(c="c0")
+        ctes.append(f"""asg{it} AS (
+            SELECT vec_id, v, c FROM (
+                SELECT e.vec_id, e.v, c0.c,
+                       row_number() OVER (PARTITION BY e.vec_id
+                                          ORDER BY round({d}, 6), c0.c) AS rn
+                FROM emb e CROSS JOIN {prev} c0
+            ) WHERE rn = 1
+        )""")
+        ctes.append(f"""upd{it} AS (
+            SELECT c, pos.i AS pos, round(avg(v[pos.i]), 6) AS m
+            FROM asg{it}, (SELECT unnest(range(1, {dim + 1})) AS i) pos
+            GROUP BY c, pos.i
+        )""")
+        ctes.append(f"""cent{it} AS (
+            SELECT p.c, COALESCE(u.cv, p.cv) AS cv
+            FROM {prev} p LEFT JOIN (
+                SELECT c, list(m ORDER BY pos) AS cv FROM upd{it} GROUP BY c
+            ) u USING (c)
+        )""")
+    d = dist.format(c="c0")
+    ctes.append(f"""fin AS (
+        SELECT e.vec_id, e.v, c0.c,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY round({d}, 6), c0.c) AS rn
+        FROM emb e CROSS JOIN cent{iters} c0
+    )""")
+    ctes.append("e_asg AS (SELECT vec_id, v, c FROM fin WHERE rn = 1)")
+    ctes.append(
+        f"""q_asg AS (
+            SELECT vec_id AS query_id, v, c FROM fin
+            WHERE vec_id % {query_mod} = 0 AND rn <= {n_probes}
+        )"""
+    )
+    ctes.append("""scored AS (
+        SELECT DISTINCT q.query_id, e.vec_id AS neighbor_id,
+               round(list_dot_product(q.v, e.v) /
+                     (sqrt(list_dot_product(q.v, q.v)) *
+                      sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+        FROM e_asg e JOIN q_asg q ON e.c = q.c AND e.vec_id <> q.query_id
+    )""")
+    ctes.append("""ranked AS (
+        SELECT query_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {k}
+    """
+    )

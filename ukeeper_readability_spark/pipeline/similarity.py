@@ -95,6 +95,9 @@ def embedding_near_duplicates(
     bucket (a degenerate quantizer cell) would otherwise go O(b²) and dominate
     the job at corpus scale; mirror of the minhash-LSH cap (dedup.py
     minhash_lsh_pairs). Degenerate cells are exact-dedup territory anyway.
+    The drop is NOT silent (ADVICE r2): callers audit it with
+    embedding_dropped_buckets(), and the driver oracle models the same cap
+    (__spark_entry__._ORACLE_EMBEDDING_NEAR_DUP).
     """
     sized = embeddings.withColumn(
         "_bsize", F.count(F.lit(1)).over(Window.partitionBy(bucket_col))
@@ -122,6 +125,21 @@ def embedding_near_duplicates(
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def embedding_dropped_buckets(
+    embeddings: DataFrame,
+    bucket_col: str = "label",
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Audit companion to embedding_near_duplicates: the buckets its
+    max_bucket cap excludes, with sizes — (bucket, bucket_size). Run it
+    alongside the dedup job so capped cells are counted, never silent."""
+    return (
+        embeddings.groupBy(F.col(bucket_col).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket)
     )
 
 
@@ -322,6 +340,13 @@ def kmeans_fit(
     iteration, map-side partial agg). Init = vectors of the n_clusters lowest
     ids (deterministic). Returns centroids as a python list of lists — only
     O(k·dim) doubles cross the driver per iteration, never vectors.
+
+    Portable arithmetic: updated centroid components are rounded to 6 dp
+    inside the agg (F.round(avg)), and assignment distances are rounded to
+    6 dp before the argmin (_assign_to_centroids) — so the whole fit is
+    bit-replicable in DuckDB (pipeline/oracles.py ann_ivf_kmeans_sql), the
+    same portability pattern the LSH quantizer oracle uses. FP-sum-order
+    differences between engines are ~1e-12, far below the rounding grain.
     """
     base = embeddings.select(
         F.col(id_col).alias("_id"),
@@ -329,13 +354,18 @@ def kmeans_fit(
     )
     init = base.orderBy("_id").limit(n_clusters).select("_v").collect()
     centroids = [list(r._v) for r in init]
+    if not centroids:
+        raise ValueError("kmeans_fit: empty input")
+    # clamp when the corpus has fewer rows than n_clusters (ADVICE r2: the
+    # empty-cluster fallback would otherwise index past the init list)
+    n_clusters = len(centroids)
     for _ in range(iters):
         assigned = _assign_to_centroids(base, centroids, "_v")
         dim = len(centroids[0])
         upd = (
             assigned.select("cluster_id", F.posexplode("_v").alias("pos", "val"))
             .groupBy("cluster_id", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(F.round(F.avg("val"), 6).alias("m"))
             .groupBy("cluster_id")
             .agg(
                 F.transform(
@@ -352,26 +382,61 @@ def kmeans_fit(
     return centroids
 
 
-def _assign_to_centroids(df: DataFrame, centroids: list, vec_col: str) -> DataFrame:
-    """argmin over squared distance to literal centroids — ties to lowest id."""
-    dists = [
-        F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(x) for x in c]),
-                lambda x, y: (x - y) * (x - y),
+def _centroid_dists(centroids: list, vec_col: str) -> list:
+    """Squared distances to literal centroids, rounded to 6 dp — the rounding
+    makes the argmin (with cluster-id tie-break) engine-portable."""
+    return [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(x) for x in c]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
             ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+            6,
         ).alias(f"_d{i}")
         for i, c in enumerate(centroids)
     ]
+
+
+def _assign_to_centroids(df: DataFrame, centroids: list, vec_col: str) -> DataFrame:
+    """argmin over 6dp-rounded squared distance — ties to lowest cluster id."""
+    dists = _centroid_dists(centroids, vec_col)
     arr = F.array(
         *[F.struct(F.col(f"_d{i}").alias("d"), F.lit(i).alias("c")) for i in range(len(centroids))]
     )
     return (
         df.select("*", *dists)
         .withColumn("cluster_id", F.array_min(arr)["c"])
+        .drop(*[f"_d{i}" for i in range(len(centroids))])
+    )
+
+
+def probe_centroids(
+    df: DataFrame,
+    centroids: list,
+    vec_col: str,
+    n_probes: int,
+    out_col: str = "probe_buckets",
+) -> DataFrame:
+    """The n_probes nearest centroid ids per row (ascending rounded distance,
+    cluster-id tie-break) — the k-means mirror of hyperplane_probe_buckets."""
+    dists = _centroid_dists(centroids, vec_col)
+    arr = F.array_sort(
+        F.array(
+            *[
+                F.struct(F.col(f"_d{i}").alias("d"), F.lit(i).alias("c"))
+                for i in range(len(centroids))
+            ]
+        )
+    )
+    probes = F.transform(F.slice(arr, 1, n_probes), lambda s: s["c"])
+    return (
+        df.select("*", *dists)
+        .withColumn(out_col, probes)
         .drop(*[f"_d{i}" for i in range(len(centroids))])
     )
 
@@ -395,17 +460,23 @@ def cosine_topk_ivf_kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    n_probes: int = 1,
 ) -> DataFrame:
-    """IVF ANN over a fitted k-means quantizer (single probe of the query's
-    nearest centroid cell)."""
+    """IVF ANN over a fitted k-means quantizer. Queries probe their n_probes
+    nearest centroid cells (mirroring the LSH path's multi-probe) — the
+    standard recall lever when clusters overlap; candidates still bounded to
+    the probed cells, same one-shuffle join shape."""
     e = with_kmeans_bucket(
         embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")),
         centroids, "nvec", "bucket",
     )
-    q = with_kmeans_bucket(
-        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
-        centroids, "qvec", "bucket",
-    )
+    dbl = F.transform(F.col("qvec"), lambda x: x.cast("double"))
+    q = probe_centroids(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        ).withColumn("_v", dbl),
+        centroids, "_v", n_probes, "probe_buckets",
+    ).select("query_id", "qvec", F.explode("probe_buckets").alias("bucket"))
     scored = (
         e.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -418,6 +489,7 @@ def cosine_topk_ivf_kmeans(
                 6,
             ).alias("cosine"),
         )
+        .distinct()  # defensive vs probe overlap; neighbors live in one cell
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
