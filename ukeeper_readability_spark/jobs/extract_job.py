@@ -59,6 +59,11 @@ def get_spark(
     b = b.config("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
     if shuffle_partitions:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        # bench knob: shuffle spill location (e.g. /dev/shm to quantify how
+        # much of a scaling gap is the single shared disk — BENCH.md)
+        b = b.config("spark.local.dir", local_dir)
     return b.getOrCreate()
 
 
