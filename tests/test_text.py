@@ -73,3 +73,36 @@ def test_sanitize_html_entities():
     assert sanitize_html("a&#8216;b&#8217;c") == "a'b'c"
     assert sanitize_html("x &amp; y") == "x & y"
     assert sanitize_html("<b>&quot;q&quot;</b>") == '"q"'
+
+
+def test_tag_strip_regex_matches_literal_walk():
+    """The regex tag-span removal must be char-for-char identical to
+    sanitize.go:121-135's literal in_tag walk, including unterminated '<'
+    (swallows to EOS) and stray '>' (dropped)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ukeeper_readability_spark.engine.sanitize_text import _RE_TAG_SPAN
+
+    def literal_walk(s):
+        buf, in_tag = [], False
+        for ch in s:
+            if ch == "<":
+                in_tag = True
+            elif ch == ">":
+                in_tag = False
+            elif not in_tag:
+                buf.append(ch)
+        return "".join(buf)
+
+    def regex_walk(s):
+        return _RE_TAG_SPAN.sub("", s).replace(">", "")
+
+    @given(st.text(alphabet="<>ab \n&;", max_size=80))
+    @settings(max_examples=500, deadline=None)
+    def check(s):
+        assert regex_walk(s) == literal_walk(s)
+
+    check()
+    for s in ("a>b<c>d", "<a<b>", "a<b", "<<>>", ">>a<<", "x<y>z<", "<"):
+        assert regex_walk(s) == literal_walk(s), s

@@ -27,17 +27,24 @@ DEFAULT_ENCODING = "utf-8"  # extractor/text.go:19
 _RE_SPACES = re.compile(r"[\t\n\f\r ]+")  # extractor/readability.go:89 reSpaces
 _RE_DOT = re.compile(r"[^0-9](\.)[^\t\n\f\r ]")  # extractor/readability.go:90 reDot
 
-# Go template.HTMLEscapeString table (text/template/funcs.go)
-_HTML_ESCAPE = str.maketrans(
-    {
-        "\x00": "�",
-        '"': "&#34;",
-        "'": "&#39;",
-        "&": "&amp;",
-        "<": "&lt;",
-        ">": "&gt;",
-    }
-)
+# C-level equivalent of sanitize.go:121-135's char walk: drop a '<'-to-'>'
+# span (the '>' optional — an unterminated '<' swallows to EOS, exactly like
+# the walk's in_tag staying true), then drop stray '>' (the walk emits
+# nothing for '>' when not in a tag). Verified char-for-char against the
+# literal walk by differential fuzz (tests/test_text.py).
+_RE_TAG_SPAN = re.compile(r"<[^>]*>?")
+
+# Go template.HTMLEscapeString table (text/template/funcs.go), applied as
+# chained C-level replaces: '&' first, so the '&' introduced by later
+# replacements is never re-escaped — char-for-char identical to a
+# simultaneous translate, measurably faster on mostly-clean text
+def _html_escape(s: str) -> str:
+    s = s.replace("&", "&amp;")
+    s = s.replace("\x00", "�")
+    s = s.replace('"', "&#34;")
+    s = s.replace("'", "&#39;")
+    s = s.replace("<", "&lt;")
+    return s.replace(">", "&gt;")
 
 
 def sanitize_html(s: str) -> str:
@@ -55,17 +62,8 @@ def sanitize_html(s: str) -> str:
         s = s.replace("</br>", "\n")
         s = s.replace("<br/>", "\n")
         s = s.replace("<br />", "\n")
-        # char walk removing <...> spans (sanitize.go:121-135)
-        buf = []
-        in_tag = False
-        for ch in s:
-            if ch == "<":
-                in_tag = True
-            elif ch == ">":
-                in_tag = False
-            elif not in_tag:
-                buf.append(ch)
-        output = "".join(buf)
+        # <...> span removal (sanitize.go:121-135's char walk, as regexes)
+        output = _RE_TAG_SPAN.sub("", s).replace(">", "")
 
     output = output.replace("&#8216;", "'")
     output = output.replace("&#8217;", "'")
@@ -76,7 +74,7 @@ def sanitize_html(s: str) -> str:
     output = output.replace("&apos;", "'")
 
     output = _htmlmod.unescape(output)
-    output = output.translate(_HTML_ESCAPE)
+    output = _html_escape(output)
 
     output = output.replace("&#34;", '"')
     output = output.replace("&#39;", "'")
