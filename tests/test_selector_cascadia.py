@@ -174,3 +174,32 @@ def test_selector_cache_isolation():
     assert ids(html, "p") == ["a"]
     assert ids(html, "p[") == []
     assert ids(html, "p") == ["a"]
+
+
+def test_selector_fuzz_never_crashes():
+    """Arbitrary selector strings either compile or raise SelectorError —
+    goquery feeds user input (POST /api/rule) straight to the compiler, so
+    no other exception class may escape; compiled matchers must never throw
+    while matching."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    doc = parse(
+        '<div id=a class="x y"><p lang=en title="t u">text</p>'
+        "<span></span><p>2nd</p><!-- c --></div>"
+    )
+
+    alphabet = st.sampled_from(list("ab1 .#:[]()>+~*=\"'\\,|!^$-n"))
+
+    @given(st.text(alphabet=alphabet, max_size=40))
+    @settings(max_examples=800, deadline=None)
+    def check(sel):
+        try:
+            g = parse_group(sel)
+        except SelectorError:
+            pass
+        else:
+            find_all(doc, g)  # matching must not raise
+        find_all(doc, sel)  # string path: invalid → [] (never raises)
+
+    check()
