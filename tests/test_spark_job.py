@@ -207,3 +207,35 @@ def test_binary_body_extraction_through_spark(spark):
         assert r.charset == "windows-1251" and r.type == "text/html"
         assert r.title == f"Тест {i}"
         assert r.content.startswith("слово далее") and r.content.endswith("конец")
+
+
+def test_binary_body_corrupt_bytes_through_spark(spark):
+    """Corrupt bytes in text AND inside href/src attributes must survive the
+    full run_extraction_bytes plan: surrogateescape chars (Go Nop parity) are
+    scrubbed to U+FFFD at the Arrow boundary for EVERY string column —
+    images/lead_image_url carry raw src bytes, links are %XX-escaped."""
+    para = ("Scored paragraph text here. " * 30).encode()
+    raw = (
+        b"<html><head><title>T</title></head><body><div><p>" + para +
+        b'corrupt\x80end <a href="/x\x80y">l</a> <img src="/im\xffg.png"></p>'
+        b"<p>" + para + b"</p></div></body></html>"
+    )
+    rows = [(f"conv-{i}", 0, raw, "text/html; charset=utf-8",
+             f"http://h{i}.example.com/p", "tool") for i in range(4)]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, body_bytes binary, "
+        "header_content_type string, tool string, role string",
+    )
+    from ukeeper_readability_spark.jobs.extract_job import run_extraction_bytes
+
+    joined = df.withColumn("rule_content", F.lit(None).cast("string")).withColumn(
+        "routed_cloudflare", F.lit(False)
+    )
+    got = run_extraction_bytes(joined, snippet_size=100).collect()
+    assert len(got) == 4
+    for r in got:
+        assert "corrupt�end" in r.content
+        assert r.images == ["/im�g.png"]
+        assert r.lead_image_url == "/im�g.png"
+        assert any(l.endswith("/x%80y") for l in r.links)

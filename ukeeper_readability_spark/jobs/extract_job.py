@@ -184,9 +184,15 @@ def _extract_batches_inner(
                 # Arrow string columns must be valid UTF-8: corrupt input
                 # bytes survive the engine as surrogateescape chars (Go Nop
                 # parity, engine/charset.py) and become U+FFFD only here, at
-                # the columnar boundary.
-                for k in ("content", "rich_content", "title", "excerpt"):
+                # the columnar boundary. images/lead can carry corrupt bytes
+                # from src attributes verbatim (links are already %XX-escaped
+                # by normalize_links, scrubbed anyway for defense).
+                for k in ("content", "rich_content", "title", "excerpt",
+                          "lead_image_url", "domain"):
                     r[k] = _valid(r[k])
+                for k in ("images", "links"):
+                    if r[k]:
+                        r[k] = [_valid(x) for x in r[k]]
             else:
                 r = extract_document(
                     texts[i] if texts[i] is not None else "",
