@@ -177,7 +177,7 @@ def test_charmap_overrides_match_reference_tables():
     body = b'<meta charset="iso-8859-2">\x80\x9fA'
     _, _, text = to_utf8(body, "text/html; charset=iso-8859-2")
     assert text.endswith("��A")
-    # koi8-u 0xAE/0xBE -> WHATWG ů/Ů cyrillic short-u, not box drawing
+    # koi8-u 0xAE/0xBE -> WHATWG ў/Ў cyrillic short-u, not box drawing
     body = b'<meta charset="koi8-u">\xae\xbe'
     _, _, text = to_utf8(body, "text/html; charset=koi8-u")
     assert text.endswith("ўЎ")

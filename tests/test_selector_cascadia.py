@@ -203,3 +203,33 @@ def test_selector_fuzz_never_crashes():
         find_all(doc, sel)  # string path: invalid → [] (never raises)
 
     check()
+
+
+def test_hex_escape_surrogate_yields_replacement():
+    """Go string(rune(0xD800)) is U+FFFD (cascadia parser.go hex escapes);
+    Python chr() would yield a lone surrogate — pin the Go behavior."""
+    # attribute value written via a surrogate hex escape can only match a
+    # literal U+FFFD attribute, never a surrogateescape byte
+    assert ids('<p id=a title="�"></p>', r'[title="\d800 "]') == ["a"]
+    assert ids('<p id=a title="�"></p>', r'[title="\dfff "]') == ["a"]
+    # out-of-range stays U+FFFD too (Go rune overflow)
+    assert ids('<p id=a title="�"></p>', r'[title="\110000 "]') == ["a"]
+
+
+def test_i_flag_simple_fold_not_full_fold():
+    """strings.EqualFold is SIMPLE folding: 'ß' never equals 'SS'/'ss'."""
+    assert ids('<p id=a title="ß"></p>', '[title="SS" i]') == []
+    assert ids('<p id=a title="ß"></p>', '[title="ss" i]') == []
+    assert ids('<p id=a title="ß"></p>', '[title="ß" i]') == ["a"]
+    # Kelvin sign folds to k in both engines (3-member simple-fold cycle)
+    assert ids('<p id=a title="K"></p>', '[title="k" i]') == ["a"]
+
+
+def test_i_flag_include_splits_go_whitespace_only():
+    """[k~=v i] splits on ' \\t\\r\\n\\f' exactly — NBSP and other Unicode
+    whitespace are part of the token, matching cascadia (selector.go)."""
+    # NBSP joins the tokens: "one\u00a0two" is a single word
+    assert ids('<p id=a class="one\u00a0two"></p>', '[class~="one" i]') == []
+    assert ids('<p id=a class="one\u00a0two"></p>', '[class~="one\u00a0two" i]') == ["a"]
+    # form-feed is a separator in both branches
+    assert ids('<p id=a title="one\ftwo"></p>', '[title~="TWO" i]') == ["a"]

@@ -96,19 +96,34 @@ class _IdSel:
         return n.type == ELEMENT_NODE and n.get_attr("id") == self.id
 
 
+def _simple_fold(s: str) -> str:
+    """Per-rune case folding approximating Go's strings.EqualFold
+    (unicode.SimpleFold cycles): never changes string length, so full-fold
+    pairs like 'ß'/'SS' stay UNequal, matching Go. A rune whose Python
+    lower() expands (e.g. U+0130) has no simple fold — keep it as-is."""
+    out = []
+    for ch in s:
+        low = ch.lower()
+        out.append(low if len(low) == 1 else ch)
+    return "".join(out)
+
+
 def _match_include(val: str, s: str, ignore_case: bool) -> bool:
-    """selector.go:337-349: s is a whitespace-separated list including val."""
+    """selector.go:337-349: s is a whitespace-separated list including val.
+    Both branches split on the exact Go whitespace set " \\t\\r\\n\\f";
+    the ignore_case branch compares under simple folding (strings.EqualFold),
+    not Python full casefold."""
     if ignore_case:
-        val = val.casefold()
-        return val in (w.casefold() for w in s.split())
-    # split on the exact Go whitespace set " \t\r\n\f"
+        val = _simple_fold(val)
     start = 0
     for i, ch in enumerate(s):
         if ch in _WS:
-            if s[start:i] == val:
+            w = s[start:i]
+            if (_simple_fold(w) if ignore_case else w) == val:
                 return True
             start = i + 1
-    return s[start:] == val
+    w = s[start:]
+    return (_simple_fold(w) if ignore_case else w) == val
 
 
 class _ClassSel:
@@ -126,7 +141,8 @@ class _ClassSel:
 
 def _eq_fold(a: str, b: str, ignore_case: bool) -> bool:
     if ignore_case:
-        return a.casefold() == b.casefold()  # strings.EqualFold
+        # strings.EqualFold is SIMPLE fold ('ß' != 'SS'), not full casefold
+        return _simple_fold(a) == _simple_fold(b)
     return a == b
 
 
@@ -592,6 +608,11 @@ class _Parser:
                 elif s[j] in " \t\n\f":
                     j += 1
             self.i = j
+            if 0xD800 <= v <= 0xDFFF:
+                # Go string(rune(v)) renders surrogate code points as U+FFFD
+                # (cascadia parser.go hex-escape path); Python chr() would
+                # happily produce a lone surrogate here.
+                return "�"
             try:
                 return chr(v)
             except (ValueError, OverflowError):

@@ -347,6 +347,14 @@ def kmeans_fit(
     bit-replicable in DuckDB (pipeline/oracles.py ann_ivf_kmeans_sql), the
     same portability pattern the LSH quantizer oracle uses. FP-sum-order
     differences between engines are ~1e-12, far below the rounding grain.
+
+    Residual assumption (diagnosability note): Spark's F.round and DuckDB's
+    round() use different half-way rules (HALF_UP on the decimal rendering
+    vs round-half-even on the double), so a mean landing EXACTLY on a 5 at
+    the 7th decimal could still round differently between engine and oracle.
+    With ~1e-12 cross-engine noise the probability of an exact tie at 1e-7
+    is vanishing, but if ann_ivf_kmeans ever hash-mismatches on a new corpus,
+    check for a ...X5000000-shaped centroid mean before suspecting the logic.
     """
     base = embeddings.select(
         F.col(id_col).alias("_id"),
