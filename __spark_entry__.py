@@ -619,50 +619,87 @@ _ORACLE_RULES_IGNORED = f"""
 
 
 def _q_charset_transcode(spark, sf_dir):
-    """P1 byte-level toUtf8 (extractor/text.go:58-106): cp1251-encoded Cyrillic
-    bodies enter as BINARY; the declared header charset is REPORTED while the
-    decode encoding comes from the HTML5 prescan finding the body's own
-    <meta charset="windows-1251"> — engine/charset.py. The pandas encode UDF is
-    test-harness byte materialization standing in for raw crawl bytes."""
+    """P1 byte-level toUtf8 (extractor/text.go:58-106): cp1251 / Shift_JIS /
+    GBK-encoded bodies enter as BINARY; the declared header charset is
+    REPORTED while the decode encoding comes from the HTML5 prescan finding
+    the body's own <meta charset=...> — engine/charset.py. The CJK variants
+    decode through engine/mbcodec.py's Go-table decoders (NOT Python codecs).
+    The pandas encode UDF is test-harness byte materialization standing in
+    for raw crawl bytes; the encode codec (cp1251/cp932/gbk) is only used on
+    payload chars where it agrees with the WHATWG index, so the expected
+    round-trip is well-defined (tests/test_mbcodec.py pins this)."""
     from pyspark.sql.types import BinaryType
 
-    from ukeeper_readability_spark.data.synth import CHARSET_1251_WRAP_SQL
+    from ukeeper_readability_spark.data.synth import (
+        CHARSET_1251_WRAP_SQL,
+        CHARSET_GBK_WRAP_SQL,
+        CHARSET_SJIS_WRAP_SQL,
+    )
     from ukeeper_readability_spark.jobs.extract_job import run_extraction_bytes
 
-    trans = _transcripts(spark, sf_dir, CHARSET_1251_WRAP_SQL)
+    variants = [
+        ("cp1251", "windows-1251", CHARSET_1251_WRAP_SQL),
+        ("cp932", "shift_jis", CHARSET_SJIS_WRAP_SQL),
+        ("gbk", "gbk", CHARSET_GBK_WRAP_SQL),
+    ]
+    def make_encoder(codec):
+        @F.pandas_udf(BinaryType())
+        def to_bytes(s: pandas.Series) -> pandas.Series:
+            return s.map(lambda x: x.encode(codec))
 
-    @F.pandas_udf(BinaryType())
-    def to_cp1251(s: pandas.Series) -> pandas.Series:
-        return s.map(lambda x: x.encode("cp1251"))
+        return to_bytes
 
-    joined = (
-        trans.withColumn("body_bytes", to_cp1251(F.col("text")))
-        .withColumn(
-            "header_content_type", F.lit("text/html; charset=windows-1251")
+    outs = []
+    for codec, label, wrap_sql in variants:
+        trans = _transcripts(spark, sf_dir, wrap_sql)
+        to_bytes = make_encoder(codec)
+
+        joined = (
+            trans.withColumn("body_bytes", to_bytes(F.col("text")))
+            .withColumn(
+                "header_content_type", F.lit(f"text/html; charset={label}")
+            )
+            .withColumn("rule_content", F.lit(None).cast("string"))
+            .withColumn("routed_cloudflare", F.lit(False))
         )
-        .withColumn("rule_content", F.lit(None).cast("string"))
-        .withColumn("routed_cloudflare", F.lit(False))
-    )
-    out = run_extraction_bytes(joined, snippet_size=SNIPPET)
-    return out.select(
-        "conv_id", "turn_idx", "title", "content", "excerpt", "type", "charset"
-    )
+        out = run_extraction_bytes(joined, snippet_size=SNIPPET)
+        outs.append(
+            out.select(
+                F.lit(label).alias("variant"), "conv_id", "turn_idx",
+                "title", "content", "excerpt", "type", "charset",
+            )
+        )
+    return outs[0].unionAll(outs[1]).unionAll(outs[2])
 
 
 def _oracle_charset_transcode() -> str:
-    from ukeeper_readability_spark.data.synth import CHARSET_1251_WRAP_SQL, cyr_sql
+    from ukeeper_readability_spark.data.synth import (
+        CHARSET_1251_WRAP_SQL,
+        CHARSET_GBK_WRAP_SQL,
+        CHARSET_SJIS_WRAP_SQL,
+        cyr_sql,
+        gbk_sql,
+        sjis_sql,
+    )
 
-    content = cyr_sql("d.text")
-    return f"""
-        WITH t AS ({transcripts_from_documents_sql('documents', CHARSET_1251_WRAP_SQL)})
-        SELECT t.conv_id, t.turn_idx,
-               'Док ' || doc_id AS title,
+    parts = []
+    for label, wrap_sql, translate, title in [
+        ("windows-1251", CHARSET_1251_WRAP_SQL, cyr_sql, "'Док '"),
+        ("shift_jis", CHARSET_SJIS_WRAP_SQL, sjis_sql, "'ドク '"),
+        ("gbk", CHARSET_GBK_WRAP_SQL, gbk_sql, "'文档 '"),
+    ]:
+        content = translate("d.text")
+        parts.append(f"""
+        SELECT '{label}' AS variant, t.conv_id, t.turn_idx,
+               {title} || doc_id AS title,
                {content} AS content,
                {excerpt_sql(content, SNIPPET)} AS excerpt,
                'text/html' AS type,
-               'windows-1251' AS charset
-        FROM t JOIN documents d USING (doc_id)
-    """
+               '{label}' AS charset
+        FROM ({transcripts_from_documents_sql('documents', wrap_sql)}) t
+        JOIN documents d USING (doc_id)
+        """)
+    return " UNION ALL ".join(parts)
 
 
 def _q_rules_disable(spark, sf_dir):

@@ -148,6 +148,40 @@ CHARSET_1251_WRAP_SQL = (
     + " || '</p></div></body></html>'"
 )
 
+# CJK byte-transcode variants (Shift_JIS / GBK): same shape, payload mapped
+# a-z → 26 katakana / 26 hanzi. Every target char sits in a table cell where
+# the vendored WHATWG index and the Python encode codec (cp932 / gbk, used
+# only by the test harness to MATERIALIZE the bytes) agree, so
+# encode(py) → decode(go tables) round-trips — asserted by
+# tests/test_mbcodec.py::test_harness_payload_roundtrip.
+SJIS_FROM = "abcdefghijklmnopqrstuvwxyz"
+SJIS_TO = "アイウエオカキクケコサシスセソタチツテトナニヌネノハ"
+GBK_FROM = "abcdefghijklmnopqrstuvwxyz"
+GBK_TO = "一二三四五六七八九十百千万上下左右中大小人口日月水火"
+
+
+def sjis_sql(col: str) -> str:
+    return f"translate({col}, '{SJIS_FROM}', '{SJIS_TO}')"
+
+
+def gbk_sql(col: str) -> str:
+    return f"translate({col}, '{GBK_FROM}', '{GBK_TO}')"
+
+
+CHARSET_SJIS_WRAP_SQL = (
+    "'<html><head><title>ドク ' || doc_id || '</title>"
+    "<meta charset=\"shift_jis\"></head>"
+    "<body><div class=\"content\"><p>' || " + sjis_sql("text")
+    + " || '</p></div></body></html>'"
+)
+
+CHARSET_GBK_WRAP_SQL = (
+    "'<html><head><title>文档 ' || doc_id || '</title>"
+    "<meta charset=\"gbk\"></head>"
+    "<body><div class=\"content\"><p>' || " + gbk_sql("text")
+    + " || '</p></div></body></html>'"
+)
+
 # charset-report variant: declared windows-1251 via http-equiv meta — the P1
 # path (extractor/text.go:83-88); the text is already decoded so only the
 # REPORTED charset changes, matching the reference's windows-1251 fixture setup

@@ -51,6 +51,8 @@ from .sanitize_text import (
 # WHATWG label → (decode spec, canonical name); extracted from the reference's
 # vendored htmlindex tables.go (228 labels / 40 encodings). Decode specs:
 #   ("codec", python_codec)  — decode with errors='replace'
+#   ("go-mb", family)        — CJK multi-byte via engine/mbcodec.py (table-
+#                              driven port of the vendored x/text decoders)
 #   ("nop",)                 — pass-through (utf-16-labeled prescan / utf-8 sniff)
 #   ("userdef",)             — x-user-defined: 0x80+b → U+F780+b (WHATWG)
 #   ("replacement",)         — whole stream → one U+FFFD (WHATWG replacement)
@@ -86,16 +88,18 @@ _ENC_CODEC = {
     "windows-1257": "cp1257",
     "windows-1258": "cp1258",
     "x-mac-cyrillic": "mac-cyrillic",
-    "gbk": "gbk",
-    "gb18030": "gb18030",
-    "big5": "big5hkscs",  # WHATWG big5 index includes the HKSCS extensions
-    "euc-jp": "euc_jp",
-    "iso-2022-jp": "iso2022_jp",
-    "shift_jis": "cp932",  # WHATWG shift_jis == windows-31j
-    "euc-kr": "cp949",  # WHATWG euc-kr == windows-949
     "utf-16be": "utf-16-be",
     "utf-16le": "utf-16-le",
 }
+
+# Multi-byte CJK families: decoded by engine/mbcodec.py table-driven ports of
+# the vendored x/text decoders, NOT by Python codecs — the nearest stdlib
+# codecs (gbk, big5hkscs, cp932, euc_jp, cp949) diverge from the vendored
+# WHATWG index tables on 82/203/1880/463/0 cells respectively, plus on
+# ill-formed-sequence handling (tools/gen_multibyte_tables.py report).
+_GO_MB = frozenset(
+    ("gbk", "gb18030", "big5", "euc-jp", "iso-2022-jp", "shift_jis", "euc-kr")
+)
 
 _LABELS = {}
 
@@ -238,6 +242,8 @@ def lookup(label: str) -> Tuple[Optional[tuple], str]:
         return ("replacement",), canonical
     if canonical == "x-user-defined":
         return ("userdef",), canonical
+    if canonical in _GO_MB:
+        return ("go-mb", canonical), canonical
     return ("codec", _ENC_CODEC[canonical]), canonical
 
 
@@ -400,6 +406,10 @@ def decode_bytes(content: bytes, spec: tuple) -> str:
         )
     if kind == "replacement":
         return "�" if content else ""
+    if kind == "go-mb":
+        from .mbcodec import decode_mb
+
+        return decode_mb(content, spec[1])
     codec = spec[1]
     if codec in _C1_FFFD_CODECS or codec in _CODEC_OVERRIDES:
         return content.decode("latin-1").translate(_decode_table(codec))
