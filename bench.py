@@ -31,6 +31,7 @@ from ukeeper_readability_spark.jobs.extract_job import (
     join_rules,
     load_transcripts,
     run_extraction,
+    run_extraction_bytes,
 )
 
 # bench corpus: every document row qualifies (no oracle-purity guard)
@@ -185,28 +186,49 @@ def main() -> None:
     def wanted(name: str) -> bool:
         return want is None or name in want
 
-    queries = {}
-    rates = {}
-    turns = {}
+    # Each query is a closure returning (elapsed_sec, rows) so the whole
+    # suite can be repeated: BENCH_r03 proved a single-shot number on this
+    # shared box is not comparable across rounds (±2x swings within hours).
+    # Protocol (mirrors tools/scaling_bench.py): REPS full passes with
+    # ALTERNATING query order (order bias is multiplicative and cancels),
+    # report the per-query MEDIAN plus the raw reps and spread.
+    jobs = []  # [(name, thunk)]
 
-    def run(name: str, path: str, batch_rows: int, rules=None):
-        # target ~2 MB arrow batches: row count scaled to payload size
-        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
-        trans = load_transcripts(spark, path)
-        joined = join_rules(trans, rules)
-        # corpus is conv_id-bucketed on disk: no runtime exchange (the
-        # production source_partitioned=True path)
-        out = run_extraction(joined, num_partitions=None)
-        t0 = time.perf_counter()
-        n = _force(out)
-        dt = time.perf_counter() - t0
-        queries[name] = round(dt, 3)
-        rates[name] = round(n / dt, 1)
-        turns[name] = n
+    def extraction_job(name: str, path: str, batch_rows: int, rules=None,
+                       as_bytes: bool = False):
+        def thunk():
+            # target ~2 MB arrow batches: row count scaled to payload size
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows)
+            )
+            trans = load_transcripts(spark, path)
+            if as_bytes:
+                # raw-crawl shape: body as BINARY (JVM-side encode), the
+                # toUtf8 sniff + surrogateescape + Arrow-boundary scrub all
+                # inside the timed region (run_extraction_bytes)
+                joined = (
+                    trans.withColumn("body_bytes", F.encode("text", "UTF-8"))
+                    .withColumn(
+                        "header_content_type",
+                        F.lit("text/html; charset=utf-8"),
+                    )
+                    .withColumn("rule_content", F.lit(None).cast("string"))
+                    .withColumn("routed_cloudflare", F.lit(False))
+                )
+                out = run_extraction_bytes(joined, num_partitions=None)
+            else:
+                joined = join_rules(trans, rules)
+                # corpus is conv_id-bucketed on disk: no runtime exchange
+                # (the production source_partitioned=True path)
+                out = run_extraction(joined, num_partitions=None)
+            t0 = time.perf_counter()
+            n = _force(out)
+            return time.perf_counter() - t0, n
+        jobs.append((name, thunk))
 
     # q1: boilerplate-strip over the documents corpus (small ~1 KB docs)
     if wanted("extract_documents_boilerplate"):
-        run("extract_documents_boilerplate", paths["docs"], 2048)
+        extraction_job("extract_documents_boilerplate", paths["docs"], 2048)
     # q2: same corpus with ~half the hosts carrying a matching custom rule —
     # the broadcast-join + customParser path. The rules DIMENSION is
     # materialized eagerly (25-ish rows) so the timed region measures
@@ -219,7 +241,7 @@ def main() -> None:
             rule_rows,
             "id string, domain string, content string, enabled boolean, use_cloudflare boolean",
         )
-        run(
+        extraction_job(
             "extract_rule_path",
             paths["docs"],
             int(os.environ.get("SPARK_GRAFT_BENCH_RULE_BATCH", "2048")),
@@ -227,7 +249,11 @@ def main() -> None:
         )
     # q3: golden-fixture articles (12-17 KB real HTML — the heavy path)
     if wanted("extract_fixture_articles"):
-        run("extract_fixture_articles", paths["fixtures"], 128)
+        extraction_job("extract_fixture_articles", paths["fixtures"], 128)
+    # q3b: the BINARY ingest path over the same small-doc corpus — prices the
+    # per-row toUtf8 + byte-preservation overhead a raw-crawl user pays
+    if wanted("extract_bytes_path"):
+        extraction_job("extract_bytes_path", paths["docs"], 2048, as_bytes=True)
 
     # q4: minhash-LSH dedup over the materialized corpus text (all-JVM:
     # explode → partial-min groupBy → band shuffle → bucket self-join)
@@ -235,70 +261,90 @@ def main() -> None:
     from ukeeper_readability_spark.pipeline.sessions import sessionize
 
     if wanted("dedup_minhash_lsh"):
-        corpus = load_transcripts(spark, paths["docs"]).select(
-            F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias("doc_id"),
-            "text",
-        )
-        t0 = time.perf_counter()
-        minhash_lsh_pairs(corpus, shingle_n=3, k=16, bands=4).count()
-        dt = time.perf_counter() - t0
-        n_docs = corpus.count()
-        queries["dedup_minhash_lsh"] = round(dt, 3)
-        rates["dedup_minhash_lsh"] = round(n_docs / dt, 1)
-        turns["dedup_minhash_lsh"] = n_docs
+        def minhash_thunk():
+            corpus = load_transcripts(spark, paths["docs"]).select(
+                F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias("doc_id"),
+                "text",
+            )
+            n_docs = corpus.count()
+            t0 = time.perf_counter()
+            minhash_lsh_pairs(corpus, shingle_n=3, k=16, bands=4).count()
+            return time.perf_counter() - t0, n_docs
+        jobs.append(("dedup_minhash_lsh", minhash_thunk))
 
     # q5: gap sessionization over the materialized events corpus (user
     # cardinality grows with the corpus, the realistic shape). events_scan
     # isolates the corpus read+decode (forced via a full-column checksum):
     # on this box it is near-constant across core counts, so BENCH.md can
     # separate the non-scaling scan from the shuffle+window+agg that follows.
-    if wanted("events_sessionize") or wanted("events_scan"):
-        ev = spark.read.parquet(paths["events"])
-        n_ev = ev.count()
-        if wanted("events_scan"):
+    if wanted("events_scan"):
+        def scan_thunk():
+            ev = spark.read.parquet(paths["events"])
+            n_ev = ev.count()
             t0 = time.perf_counter()
             ev.select(
                 F.bit_xor(F.xxhash64("user_id", "event_id", "ts", "value"))
             ).collect()
-            dt = time.perf_counter() - t0
-            queries["events_scan"] = round(dt, 3)
-            rates["events_scan"] = round(n_ev / dt, 1)
-            turns["events_scan"] = n_ev
-        if wanted("events_sessionize"):
+            return time.perf_counter() - t0, n_ev
+        jobs.append(("events_scan", scan_thunk))
+    if wanted("events_sessionize"):
+        def sess_thunk():
+            ev = spark.read.parquet(paths["events"])
+            n_ev = ev.count()
             t0 = time.perf_counter()
             sessionize(ev, gap_minutes=30).count()
-            dt = time.perf_counter() - t0
-            queries["events_sessionize"] = round(dt, 3)
-            rates["events_sessionize"] = round(n_ev / dt, 1)
-            turns["events_sessionize"] = n_ev
-
-    if want is not None or os.environ.get("SPARK_GRAFT_BENCH_SKIP_ANN"):
-        _finish(queries, rates, turns, sf_dir, cpus, spark)
-        return
+            return time.perf_counter() - t0, n_ev
+        jobs.append(("events_sessionize", sess_thunk))
 
     # q6: ANN bruteforce (fixed-size corpus — throughput context only;
     # excluded from scaling runs where its fixed overhead would swamp compute)
-    from ukeeper_readability_spark.pipeline import cosine_topk_bruteforce
+    if (want is None and not os.environ.get("SPARK_GRAFT_BENCH_SKIP_ANN")) or (
+        want is not None and "ann_cosine_bruteforce" in want
+    ):
+        from ukeeper_readability_spark.pipeline import cosine_topk_bruteforce
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(cpus * 2)
-    qs = emb.filter(F.col("vec_id") % 50 == 0).selectExpr(
-        "vec_id AS query_id", "embedding", "label"
-    )
-    t0 = time.perf_counter()
-    cosine_topk_bruteforce(emb, qs, k=10).count()
-    dt = time.perf_counter() - t0
-    n_emb = emb.count()
-    queries["ann_cosine_bruteforce"] = round(dt, 3)
-    rates["ann_cosine_bruteforce"] = round(n_emb / dt, 1)
-    turns["ann_cosine_bruteforce"] = n_emb
+        def ann_thunk():
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(cpus * 2)
+            qs = emb.filter(F.col("vec_id") % 50 == 0).selectExpr(
+                "vec_id AS query_id", "embedding", "label"
+            )
+            n_emb = emb.count()
+            t0 = time.perf_counter()
+            cosine_topk_bruteforce(emb, qs, k=10).count()
+            return time.perf_counter() - t0, n_emb
+        jobs.append(("ann_cosine_bruteforce", ann_thunk))
 
-    _finish(queries, rates, turns, sf_dir, cpus, spark)
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    times = {name: [] for name, _ in jobs}
+    counts = {}
+    for rep in range(reps):
+        ordered = jobs if rep % 2 == 0 else list(reversed(jobs))
+        for name, thunk in ordered:
+            dt, n = thunk()
+            times[name].append(round(dt, 3))
+            counts[name] = n
+
+    queries, rates, turns, rep_detail = {}, {}, {}, {}
+    for name, _ in jobs:
+        ts = sorted(times[name])
+        median = ts[len(ts) // 2] if len(ts) % 2 else (
+            (ts[len(ts) // 2 - 1] + ts[len(ts) // 2]) / 2
+        )
+        queries[name] = round(median, 3)
+        rates[name] = round(counts[name] / median, 1)
+        turns[name] = counts[name]
+        rep_detail[name] = {
+            "reps": times[name],
+            "spread": round(max(times[name]) - min(times[name]), 3),
+        }
+
+    _finish(queries, rates, turns, sf_dir, cpus, spark, rep_detail)
 
 
-def _finish(queries, rates, turns, sf_dir, cpus, spark):
+def _finish(queries, rates, turns, sf_dir, cpus, spark, rep_detail=None):
     total = sum(queries.values())
     result = {
-        "metric": "extraction wall-clock (sum of headline queries)",
+        "metric": "extraction wall-clock (sum of per-query medians)",
         "value": round(total, 3),
         "unit": "sec",
         "queries": queries,
@@ -307,6 +353,9 @@ def _finish(queries, rates, turns, sf_dir, cpus, spark):
         "turns_per_sec": rates,
         "cpus": cpus,
     }
+    if rep_detail:
+        result["rep_protocol"] = "alternating-order full passes; queries=median"
+        result["rep_detail"] = rep_detail
     print(json.dumps(result))
     spark.stop()
 
