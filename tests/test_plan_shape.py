@@ -148,3 +148,27 @@ def test_ngram_jaccard_semi_join_not_forced_broadcast(spark):
     assert "LeftSemi" in analyzed, analyzed
     # still correct
     assert out.count() == 2
+
+
+def test_minhash_pairs_single_band_exchange_no_join(spark):
+    """VERDICT r3 item 4: pair generation is groupBy(band, band_key) +
+    in-row expansion — exactly ONE exchange keyed by the band key (plus the
+    final distinct's exchange on the pair), and NO join operator at all.
+    The former shape shuffled bucket rows twice (window cap + self-join)."""
+    from ukeeper_readability_spark.pipeline.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", "w x y z a b c %d" % (i % 3)) for i in range(24)],
+        "doc_id string, text string",
+    )
+    out = minhash_lsh_pairs(docs, shingle_n=3, k=16, bands=4)
+    plan = _plan(out)
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    band_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "band" in ln
+    ]
+    assert len(band_exchanges) == 1, plan
+    # correctness: same-residue docs (8 per class) still pair up
+    assert out.count() > 0

@@ -132,17 +132,29 @@ def minhash_lsh_pairs(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
-    sized = buckets.withColumn(
-        "bsize", F.count(F.lit(1)).over(Window.partitionBy("band", "band_key"))
-    ).filter(F.col("bsize") <= max_bucket)
-
-    a = sized.select("band", "band_key", F.col("doc_id").alias("doc_a"))
-    b = sized.select("band", "band_key", F.col("doc_id").alias("doc_b"))
+    # ONE shuffle on the band key (groupBy with map-side partial agg), then
+    # in-row pair expansion — replaces the former window-cap + bucket
+    # self-join, which shuffled the bucket rows twice on the same key.
+    # Per-row memory stays O(max_bucket): posexplode pins doc_a, the inner
+    # slice holds only the ids after it, and each emitted pair is a row.
+    # doc_a < doc_b falls out of array_sort (same binary string collation as
+    # the `<` the self-join used), so the output set is IDENTICAL.
+    grouped = (
+        buckets.groupBy("band", "band_key")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+        .select(F.array_sort("ids").alias("ids"))
+    )
     return (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        grouped.select(F.col("ids"), F.posexplode("ids").alias("i", "doc_a"))
+        .select(
+            "doc_a",
+            F.explode(
+                F.slice("ids", F.col("i") + F.lit(2), F.size("ids"))
+            ).alias("doc_b"),
+        )
         .distinct()
+        .select("doc_a", "doc_b")
     )
 
 
