@@ -233,3 +233,73 @@ def test_i_flag_include_splits_go_whitespace_only():
     assert ids('<p id=a class="one\u00a0two"></p>', '[class~="one\u00a0two" i]') == ["a"]
     # form-feed is a separator in both branches
     assert ids('<p id=a title="one\ftwo"></p>', '[title~="TWO" i]') == ["a"]
+
+
+RE2_REJECTED = [
+    # construct Python re accepts, RE2 (Go regexp) rejects → invalid matcher
+    r"[x#=(?=foo)]",          # lookahead
+    r"[x#=(?!foo)]",          # negative lookahead
+    r"[x#=(?<=a)b]",          # lookbehind
+    r"[x#=(?<!a)b]",          # negative lookbehind
+    r"[x#=(a)\1]",            # numeric backreference
+    r"[x#=(?P<g>a)(?P=g)]",   # named backreference
+    r"[x#=a\Z]",              # \Z (RE2 spells it \z)
+    r"[x#=a++]",              # possessive quantifier
+    r"[x#=a*+]",
+    r"[x#=a?+]",
+    r"[x#=a{1,2}+]",          # possessive interval
+    r"[x#=(?>ab)]",           # atomic group
+    r"[x#=(?(1)a|b)]",        # conditional
+    r"[x#=[\b]]",             # backspace class escape (RE2: error)
+    r"p:matches((?=x)y)",
+    r"p:matchesown((a)\1)",
+]
+
+
+@pytest.mark.parametrize("sel", RE2_REJECTED)
+def test_non_re2_regex_rejected_to_invalid_matcher(sel):
+    with pytest.raises(SelectorError):
+        parse_group(sel)
+    html = '<p id=a x="foofoo">foofoo</p>'
+    assert ids(html, sel) == []
+
+
+RE2_ACCEPTED = [
+    # common grammar both engines share — must still work
+    (r"[href#=^https?://]", '<a id=a href="http://x"></a><a id=b href="ftp://x"></a>', ["a"]),
+    (r"[x#=^a{1,2}b$]", '<p id=a x="aab"></p><p id=b x="aaab"></p>', ["a"]),
+    (r"[x#=(?i)HeLLo]", '<p id=a x="hello"></p>', ["a"]),       # leading inline flag
+    (r"[x#=(?:ab)+c]", '<p id=a x="ababc"></p>', ["a"]),
+    (r"[x#=\d+\.\d+]", '<p id=a x="v1.25"></p><p id=b x="vX"></p>', ["a"]),
+    (r"[x#=[a-c]+z]", '<p id=a x="abcz"></p><p id=b x="dz"></p>', ["a"]),
+    (r"p:matches(^\s*Item\s\d+$)", "<p id=a>Item 42</p><p id=b>Item x</p>", ["a"]),
+]
+
+
+@pytest.mark.parametrize("sel,html,expected", RE2_ACCEPTED,
+                         ids=[c[0] for c in RE2_ACCEPTED])
+def test_re2_common_grammar_still_matches(sel, html, expected):
+    assert ids(html, sel) == expected
+
+
+def test_regex_fuzz_never_crashes():
+    """Extend the selector fuzz to the regex pseudo-class arms."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    doc = parse('<div x="ab12">ab12<p y="zz">zz</p></div>')
+    frag = st.text(alphabet=list("ab12().*+?\\[]{}^$|=<!PgZz,"), max_size=12)
+
+    @given(frag, st.sampled_from(["[x#=%s]", "p:matches(%s)", "p:matchesown(%s)"]))
+    @settings(max_examples=500, deadline=None)
+    def check(body, tmpl):
+        sel = tmpl % body
+        try:
+            g = parse_group(sel)
+        except SelectorError:
+            pass
+        else:
+            find_all(doc, g)
+        find_all(doc, sel)  # string path never raises
+
+    check()

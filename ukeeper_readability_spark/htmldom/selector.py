@@ -30,9 +30,15 @@ parser, exactly like the reference. Pseudo-elements (::before etc.) are parse
 errors on the Compile path (cascadia selector.go:102-109 uses ParseGroup,
 which rejects them), hence match nothing.
 
-Documented divergence: [k#=re] and :matches() use Python `re` instead of Go
-RE2 — identical for the common grammar, divergent only for RE2-specific or
-backtracking-specific constructs.
+Regex engines: [k#=re] / :matches() / :matchesown() use Python `re` where Go
+uses RE2, but patterns are pre-screened by _re2_unsafe: every construct
+Python accepts and RE2 rejects (lookaround, backreferences, atomic groups,
+possessive quantifiers, conditionals, \\Z, [\\b]) is rejected at compile
+time into the invalid matcher. ACCEPTED patterns therefore behave
+identically in both engines; RE2-only syntax (\\p{L}, \\z, mid-pattern
+global flags) fails Python re.compile and lands in the same
+invalid-matcher bucket, which diverges from cascadia only in the
+accept-vs-reject direction, never in match results.
 """
 
 from __future__ import annotations
@@ -144,6 +150,88 @@ def _eq_fold(a: str, b: str, ignore_case: bool) -> bool:
         # strings.EqualFold is SIMPLE fold ('ß' != 'SS'), not full casefold
         return _simple_fold(a) == _simple_fold(b)
     return a == b
+
+
+_RE2_REJECT_GROUPS = (
+    ("(?P=", "named backreference"),
+    ("(?=", "lookahead"),
+    ("(?!", "negative lookahead"),
+    ("(?<=", "lookbehind"),
+    ("(?<!", "negative lookbehind"),
+    ("(?>", "atomic group"),
+    ("(?(", "conditional group"),
+)
+
+
+def _re2_unsafe(p: str):
+    """Reason string if `p` uses a construct Python `re` accepts but Go's
+    regexp (RE2) rejects — the silent-divergence direction for [k#=] /
+    :matches() / :matchesown(). Accepted patterns therefore match identically
+    in both engines. (The other direction — RE2-only syntax like \\p{L},
+    \\z, or mid-pattern global flags — already fails Python re.compile and
+    lands in the same invalid-matcher bucket.) Returns None when safe."""
+    i, n = 0, len(p)
+    in_class = False
+    while i < n:
+        c = p[i]
+        if c == "\\":
+            if i + 1 >= n:
+                break
+            nxt = p[i + 1]
+            if nxt.isdigit():
+                # \1 outside a class is a Python backref (RE2: error); inside
+                # a class it is a Python octal escape (RE2: error). Reject
+                # both; RE2-style octal is expressible as \x.
+                return "backreference/octal escape \\" + nxt
+            if nxt == "Z":
+                return "\\Z (RE2 spells end-of-text \\z)"
+            if nxt == "g":
+                return "\\g backreference"
+            if nxt == "b" and in_class:
+                return "[\\b] backspace escape"
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            i += 1
+            if i < n and p[i] == "^":
+                i += 1
+            if i < n and p[i] == "]":  # leading ] is literal
+                i += 1
+            continue
+        if c == "(":
+            for g, reason in _RE2_REJECT_GROUPS:
+                if p.startswith(g, i):
+                    return reason
+            i += 1
+            continue
+        if c in "*+?" and i + 1 < n and p[i + 1] == "+":
+            # X*+ / X++ / X?+ possessive quantifiers (Python >= 3.11).
+            # When Python would reject the sequence anyway ("multiple
+            # repeat"), rejecting here lands in the same invalid-matcher
+            # bucket, so this cannot wrongly kill a both-engines-valid
+            # pattern.
+            return "possessive quantifier"
+        if c == "{":
+            # {m,n}+ possessive interval: only flag a REAL quantifier brace
+            # (Python treats a non-quantifier '{' as a literal, as does RE2)
+            j = i + 1
+            while j < n and (p[j].isdigit() or p[j] == ","):
+                j += 1
+            if j > i + 1 and j < n and p[j] == "}" and any(
+                ch.isdigit() for ch in p[i + 1:j]
+            ):
+                if j + 1 < n and p[j + 1] == "+":
+                    return "possessive quantifier"
+                i = j + 1
+                continue
+        i += 1
+    return None
 
 
 class _AttrSel:
@@ -708,8 +796,16 @@ class _Parser:
             i += 1
         if i >= len(s):
             self._err("EOF in regular expression")
+        pat = s[self.i:i]
+        reason = _re2_unsafe(pat)
+        if reason is not None:
+            # Go compiles with regexp (RE2), which REJECTS this construct;
+            # Python re would accept it with backtracking semantics. Reject
+            # at compile → invalid matcher, so accepted patterns never
+            # silently diverge from cascadia.
+            self._err("non-RE2 regular expression construct: %s" % reason)
         try:
-            rx = re.compile(s[self.i:i])
+            rx = re.compile(pat)
         except re.error as e:
             self._err("invalid regular expression: %s" % e)
         self.i = i
