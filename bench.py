@@ -117,6 +117,15 @@ def _ensure_corpus(spark, sf_dir: str, copies: int, fixture_turns: int, events_c
                 "event_id", "ts", "value",
             )
         ev.repartition(64).write.mode("overwrite").parquet(paths["events"])
+    # bucketed-by-user_id layout (the 100 TB sessionize answer): written once,
+    # re-registered per run; sessionize over it plans ZERO exchanges
+    from ukeeper_readability_spark.pipeline.sessions import ensure_events_bucketed
+
+    paths["events_bkt"] = f"{base}/{tag}_events_x{events_copies}_bkt"
+    ensure_events_bucketed(
+        spark, spark.read.parquet(paths["events"]), paths["events_bkt"],
+        table="bench_events_bkt", nbuckets=64,
+    )
     return paths
 
 
@@ -295,6 +304,17 @@ def main() -> None:
             sessionize(ev, gap_minutes=30).count()
             return time.perf_counter() - t0, n_ev
         jobs.append(("events_sessionize", sess_thunk))
+    # q5b: identical query over the user_id-BUCKETED layout — zero exchanges
+    # (plan-asserted in tests/test_plan_shape.py); the delta vs q5 prices the
+    # runtime shuffle that proper table layout removes at scale
+    if wanted("events_sessionize_bucketed"):
+        def sess_bkt_thunk():
+            ev = spark.table("bench_events_bkt")
+            n_ev = ev.count()
+            t0 = time.perf_counter()
+            sessionize(ev, gap_minutes=30).count()
+            return time.perf_counter() - t0, n_ev
+        jobs.append(("events_sessionize_bucketed", sess_bkt_thunk))
 
     # q6: ANN bruteforce (fixed-size corpus — throughput context only;
     # excluded from scaling runs where its fixed overhead would swamp compute)

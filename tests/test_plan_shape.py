@@ -172,3 +172,39 @@ def test_minhash_pairs_single_band_exchange_no_join(spark):
     assert len(band_exchanges) == 1, plan
     # correctness: same-residue docs (8 per class) still pair up
     assert out.count() > 0
+
+
+def test_sessionize_bucketed_read_no_exchange(spark, tmp_path):
+    """VERDICT r3 item 3: with events stored bucketed by user_id
+    (ensure_events_bucketed — the 100 TB layout), the sessionize window AND
+    the session groupBy must both run with ZERO Exchange operators; only
+    local sorts remain."""
+    import datetime
+
+    from ukeeper_readability_spark.pipeline.sessions import (
+        ensure_events_bucketed,
+        sessionize,
+    )
+
+    rows = [
+        (i, datetime.datetime(2026, 1, 1, 0, i % 60), i % 7, "c", float(i))
+        for i in range(200)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    path = str(tmp_path / "ev_bucketed")
+    bucketed = ensure_events_bucketed(spark, ev, path, table="t_ev_bkt", nbuckets=4)
+    out = sessionize(bucketed, gap_minutes=30)
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+    assert out.count() > 0
+    # unbucketed baseline on the same rows DOES exchange — the layout, not
+    # the query, is what removed it
+    plain = sessionize(ev, gap_minutes=30)
+    assert "Exchange" in _plan(plain)
+    # same results either way (bucketing is layout-only)
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, plain.collect()))
+    assert a == b
+    spark.sql("DROP TABLE IF EXISTS t_ev_bkt")

@@ -105,6 +105,25 @@ def main():
         explain(sessionize(ev, gap_minutes=30)),
     ))
 
+    # round-4: the 100 TB layout — user_id-bucketed storage removes the one
+    # remaining exchange entirely (only local sorts survive)
+    import tempfile
+
+    from ukeeper_readability_spark.pipeline.sessions import ensure_events_bucketed
+
+    with tempfile.TemporaryDirectory() as td:
+        bucketed = ensure_events_bucketed(
+            spark, ev, f"{td}/ev_bkt", table="plans_ev_bkt", nbuckets=4
+        )
+        sections.append((
+            "Gap sessionization over a user_id-BUCKETED table "
+            "(ensure_events_bucketed; Iceberg: PARTITIONED BY bucket(N, "
+            "user_id)): ZERO exchanges — the bucketed scan's "
+            "HashPartitioning(user_id) satisfies the window and the groupBy",
+            explain(sessionize(bucketed, gap_minutes=30)),
+        ))
+        spark.sql("DROP TABLE IF EXISTS plans_ev_bkt")
+
     out = [
         "# PLANS — physical plans of the production pipeline",
         "",

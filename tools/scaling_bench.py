@@ -35,6 +35,9 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     # ANN bruteforce stays out: its corpus is fixed-size, so at 4N the run
     # times scheduler overhead, not compute
     env.setdefault("SPARK_GRAFT_BENCH_SKIP_ANN", "1")
+    # bench.py now medians over internal reps; the PAIRED protocol here is
+    # the repetition mechanism, so one pass per invocation
+    env.setdefault("SPARK_GRAFT_BENCH_REPS", "1")
     out = subprocess.run(
         prefix + [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True,
@@ -240,7 +243,10 @@ def _paired_runs(n: int, sf_dir: str, trials: int) -> tuple:
 # which control ceils each query: Python-worker-dominated extraction follows
 # the multiprocessing control; all-JVM shuffle queries follow the codegen
 # control (they droop harder per core on one socket)
-_JVM_BOUND = {"dedup_minhash_lsh", "events_sessionize", "events_scan"}
+_JVM_BOUND = {
+    "dedup_minhash_lsh", "events_sessionize", "events_sessionize_bucketed",
+    "events_scan",
+}
 
 
 def main():

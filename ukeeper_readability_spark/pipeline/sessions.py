@@ -4,11 +4,19 @@ Batch sessionization (window functions) — the Structured-Streaming analogue
 would be applyInPandasWithState, but this engine is deliberately batch-only
 (SURVEY §7: the north rule is batch with manifest-based resume). One shuffle on
 user_id; per-user state is a running sum over an ordered window.
+
+At 10^12-event scale even that one shuffle should come from the TABLE LAYOUT,
+not runtime: store events bucketed by user_id (ensure_events_bucketed below)
+and the window + agg run with ZERO Exchange operators — the bucketed scan's
+HashPartitioning(user_id) satisfies both the window's and the groupBy's
+required distribution, leaving only per-partition local sorts.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -49,3 +57,56 @@ def sessionize(
             F.round(F.sum(value_col), 6).alias("total_value"),
         )
     )
+
+
+def ensure_events_bucketed(
+    spark: SparkSession,
+    events: DataFrame,
+    path: str,
+    table: str = "events_bucketed",
+    nbuckets: int = 64,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Materialize (once) and register `events` as a user_id-bucketed table.
+
+    This is the 100 TB layout for sessionize: the bucketed scan reports
+    HashPartitioning(user_col), so the window partitionBy and the session
+    groupBy both run WITHOUT an Exchange (plan-asserted in
+    tests/test_plan_shape.py). Files written by a previous session are
+    re-registered via external-table DDL — bucket metadata lives in the
+    catalog, the bucket id lives in the file names Spark wrote.
+
+    Iceberg equivalent (env has no Iceberg runtime jar, CLAUDE.md):
+        CREATE TABLE events (...) USING iceberg
+        PARTITIONED BY (bucket(64, user_id))
+    with spark.sql.iceberg.planning.preserve-data-grouping=true for
+    storage-partitioned (exchange-free) reads.
+    """
+    ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in events.schema.fields
+    )
+    have_files = os.path.isdir(path) and any(
+        fn.startswith("part-") for fn in os.listdir(path)
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if not have_files:
+        (
+            events.write.mode("overwrite")
+            .bucketBy(nbuckets, user_col)
+            .sortBy(user_col, ts_col, order_tiebreak)
+            .option("path", path)
+            .saveAsTable(table)
+        )
+    else:
+        spark.sql(
+            f"""
+            CREATE TABLE {table} ({ddl}) USING PARQUET
+            CLUSTERED BY ({user_col})
+            SORTED BY ({user_col}, {ts_col}, {order_tiebreak})
+            INTO {nbuckets} BUCKETS
+            LOCATION '{path}'
+            """
+        )
+    return spark.table(table)
