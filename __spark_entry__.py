@@ -645,7 +645,9 @@ def _q_charset_transcode(spark, sf_dir):
     def make_encoder(codec):
         @F.pandas_udf(BinaryType())
         def to_bytes(s: pandas.Series) -> pandas.Series:
-            return s.map(lambda x: x.encode(codec))
+            # vectorized str→bytes (VERDICT r3 watch item: no row-at-a-time
+            # .map in pandas UDFs, even harness-side)
+            return s.str.encode(codec)
 
         return to_bytes
 
