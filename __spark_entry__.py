@@ -300,6 +300,19 @@ def _q_jaccard(spark, sf_dir):
     return ngram_jaccard(corpus, pairs, shingle_n=3)
 
 
+def _q_dedup_components(spark, sf_dir):
+    """Connected components over the LSH candidate graph — the step that
+    turns candidate PAIRS into dedup CLUSTERS with a canonical (min-id)
+    representative; pipeline/dedup.py dedup_components (min-label
+    propagation, localCheckpoint per round). Oracle: DuckDB recursive CTE
+    reachability (pipeline/oracles.py dedup_components_sql)."""
+    from ukeeper_readability_spark.pipeline.dedup import dedup_components
+
+    corpus = _dup_corpus(spark, sf_dir)
+    pairs = minhash_lsh_pairs(corpus, shingle_n=3, k=8, bands=4, portable=True)
+    return dedup_components(pairs)
+
+
 def _q_simhash(spark, sf_dir):
     return simhash(_docs(spark, sf_dir), bits=16, portable=True)
 
@@ -921,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh_pairs": _q_minhash_pairs,
         "dedup_ngram_jaccard": _q_jaccard,
+        "dedup_components": _q_dedup_components,
         "dedup_simhash": _q_simhash,
         "text_token_counts": _q_token_counts,
         "text_language_id": _q_language_id,
@@ -962,6 +976,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _po.dedup_exact_sql(),
         "dedup_minhash_lsh_pairs": _po.minhash_pairs_sql(3, 8, 4),
         "dedup_ngram_jaccard": _po.jaccard_sql(3, 8, 4),
+        "dedup_components": _po.dedup_components_sql(3, 8, 4),
         "dedup_simhash": _po.simhash_sql(16),
         "text_token_counts": _po.token_counts_sql(),
         "text_language_id": _po.language_id_sql(STOPWORDS, TRIGRAMS),

@@ -159,3 +159,38 @@ def test_ngram_jaccard_semijoin_prunes_noncandidates(spark, docs):
     # values unchanged by the prune: the (0,1) exact pair scores 1.0
     vals = {(r.doc_a, r.doc_b): r.jaccard for r in out.collect()}
     assert vals[(0, 1)] == 1.0
+
+
+def test_dedup_components_basic(spark):
+    from ukeeper_readability_spark.pipeline.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 6), (9, 9)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.component_id for r in dedup_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}
+
+
+def test_dedup_components_chain_convergence(spark):
+    """A path graph needs diameter rounds of min propagation — pin that a
+    10-node chain converges well inside max_iters and yields one component."""
+    from ukeeper_readability_spark.pipeline.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 10)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.component_id for r in dedup_components(pairs).collect()}
+    assert got == {i: 1 for i in range(1, 11)}
+
+
+def test_dedup_components_empty_and_strings(spark):
+    from ukeeper_readability_spark.pipeline.dedup import dedup_components
+
+    empty = spark.createDataFrame([], "doc_a string, doc_b string")
+    assert dedup_components(empty).count() == 0
+    pairs = spark.createDataFrame(
+        [("d2", "d10"), ("d10", "d3")], "doc_a string, doc_b string"
+    )
+    got = {r.doc_id: r.component_id for r in dedup_components(pairs).collect()}
+    # string min is BINARY collation: 'd10' < 'd2' < 'd3'
+    assert got == {"d2": "d10", "d10": "d10", "d3": "d10"}

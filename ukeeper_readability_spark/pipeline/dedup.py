@@ -236,3 +236,69 @@ def simhash(
     for j in range(bits):
         sim = sim + F.when(F.col(f"s_{j}") > 0, F.lit(2 ** j)).otherwise(0)
     return agg.select("doc_id", sim.alias("simhash"))
+
+
+def dedup_components(
+    pairs: DataFrame,
+    key_a: str = "doc_a",
+    key_b: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over the candidate-pair graph: (doc_id,
+    component_id), where component_id is the MIN doc id in the component —
+    the canonical representative production dedup keeps.
+
+    Min-label propagation: every node starts labeled with itself; each round
+    takes the min label over itself and its neighbors; stops when no label
+    changes. Round count = graph diameter. An LSH candidate graph is a union
+    of per-bucket cliques, so duplicate chains hop at most a handful of
+    buckets (diameter ~ bands, not n) — the right regime for propagation.
+    For arbitrary/adversarial graphs swap the round body for alternating
+    large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", 2014), which converges in O(log^2 n) rounds with
+    the same per-round shuffle shape.
+
+    Each round is one join + one groupBy, both keyed on node id (AQE picks
+    the strategy); lineage is cut per round with localCheckpoint so the plan
+    stays constant-size across iterations — on a real cluster point
+    spark.checkpoint.dir at durable storage and use checkpoint() instead.
+    Only the CONVERGENCE COUNTER crosses the driver, never labels.
+    """
+    sym = pairs.select(F.col(key_a).alias("u"), F.col(key_b).alias("v"))
+    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nb = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("v"), F.col("label").alias("vlab")
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vlab").alias("nb_min"))
+            .withColumnRenamed("u", "node")
+        )
+        stepped = (
+            labels.join(nb, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nb_min", "label")).alias(
+                    "new_label"
+                ),
+                (F.coalesce("nb_min", "label") < F.col("label")).alias("_chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        labels = stepped.select("node", F.col("new_label").alias("label"))
+        if stepped.filter("_chg").limit(1).count() == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    )

@@ -87,6 +87,31 @@ def jaccard_sql(shingle_n: int = 3, k: int = 8, bands: int = 4) -> str:
     """
 
 
+def dedup_components_sql(shingle_n: int = 3, k: int = 8, bands: int = 4) -> str:
+    """Connected components over the minhash candidate graph via a DuckDB
+    recursive CTE: reach(node, lab) enumerates every component member each
+    node can reach (UNION dedup terminates the recursion), then min(lab)
+    per node is the component id — the same fixpoint the engine's min-label
+    propagation (pipeline/dedup.py dedup_components) converges to."""
+    return f"""
+        WITH RECURSIVE corpus AS ({DUP_CORPUS_SQL}),
+        pairs AS ({minhash_pairs_sql(shingle_n, k, bands)}),
+        e AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION
+            SELECT doc_b AS u, doc_a AS v FROM pairs
+        ),
+        reach AS (
+            SELECT u AS node, u AS lab FROM e
+            UNION
+            SELECT e.v AS node, reach.lab AS lab
+            FROM reach JOIN e ON e.u = reach.node
+        )
+        SELECT node AS doc_id, min(lab) AS component_id
+        FROM reach GROUP BY node
+    """
+
+
 def simhash_sql(bits: int = 16) -> str:
     hexchars = bits // 4
     h = f"CAST(('0x' || substr(md5(t), 1, {hexchars})) AS BIGINT)"
