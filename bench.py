@@ -245,7 +245,21 @@ def main() -> None:
     # in production rules are a tiny cached table, not a per-job derivation.
     if wanted("extract_rule_path"):
         spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
-        rule_rows = spark.sql(_BENCH_RULES_SQL).collect()
+        # diagnostic knob: SPARK_GRAFT_BENCH_RULE_MODE = half (default) | all
+        # | none — none keeps the broadcast join but zero rule hits (isolates
+        # join cost); all makes every doc take the 2-parse rule path
+        # (isolates the doc-mix/straggler effect)
+        rule_mode = os.environ.get("SPARK_GRAFT_BENCH_RULE_MODE", "half")
+        rules_sql = _BENCH_RULES_SQL
+        if rule_mode == "all":
+            rules_sql = rules_sql.replace(
+                "(pmod(xxhash64(source), 2) = 0) AS enabled", "TRUE AS enabled"
+            )
+        elif rule_mode == "none":
+            rules_sql = rules_sql.replace(
+                "(pmod(xxhash64(source), 2) = 0) AS enabled", "FALSE AS enabled"
+            )
+        rule_rows = spark.sql(rules_sql).collect()
         rules_df = spark.createDataFrame(
             rule_rows,
             "id string, domain string, content string, enabled boolean, use_cloudflare boolean",
