@@ -53,9 +53,38 @@ def test_wav_chunk_walk():
     assert m == {"container": "wav", "width": 0, "height": 0, "n_frames": 1000}
 
 
+def _jpeg(w, h, com=b""):
+    out = b"\xff\xd8"
+    out += b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    if com:
+        out += b"\xff\xfe" + struct.pack(">H", 2 + len(com)) + com
+    out += b"\xff\xc0\x00\x11\x08" + struct.pack(">HH", h, w)
+    out += b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    return out + b"\xff\xd9"
+
+
+def test_jpeg_sof_walk():
+    m = decode_media(_jpeg(640, 480))
+    assert m == {"container": "jpeg", "width": 640, "height": 480, "n_frames": 1}
+    # COM segment before SOF exercises the variable-length skip
+    m = decode_media(_jpeg(12, 34, com=b"x" * 37))
+    assert (m["width"], m["height"]) == (12, 34)
+    # progressive SOF2 is a frame header too
+    prog = _jpeg(5, 6).replace(b"\xff\xc0", b"\xff\xc2")
+    assert decode_media(prog)["width"] == 5
+    # restart markers (standalone, no length) are skipped
+    rst = b"\xff\xd8\xff\xd0" + _jpeg(7, 8)[2:]
+    assert decode_media(rst)["width"] == 7
+
+
 def test_unknown_and_corrupt_payloads():
     assert decode_media(b"")["container"] == "unknown"
-    assert decode_media(b"\xff\xd8\xff\xe0 not handled")["container"] == "unknown"
+    # JPEG magic with a lying APP0 length running past EOF: still a jpeg
+    # container, zeroed dimensions, no crash
+    m = decode_media(b"\xff\xd8\xff\xe0 not handled")
+    assert m == {"container": "jpeg", "width": 0, "height": 0, "n_frames": 0}
+    # SOS before any SOF: zeroed dims
+    assert decode_media(b"\xff\xd8\xff\xda\x00\x02")["width"] == 0
     # truncated PNG signature-only must not crash
     assert decode_media(b"\x89PNG\r\n\x1a\n\x00\x00")["container"] == "unknown"
     # GIF with a lying sub-block size running past EOF

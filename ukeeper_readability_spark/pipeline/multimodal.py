@@ -135,11 +135,40 @@ def _decode_wav(p: bytes) -> dict | None:
     }
 
 
+def _decode_jpeg(p: bytes) -> dict | None:
+    """SOI + marker-segment walk to the first SOF0/1/2 frame header (ITU
+    T.81 §B.2.2: [len(2BE) precision(1) height(2BE) width(2BE) ...]).
+    Stops at SOS (entropy-coded data follows) or EOI. A payload that is a
+    JPEG by magic but has no parseable frame header reports zeroed
+    dimensions — it is still a jpeg container."""
+    if len(p) < 4 or p[0:2] != b"\xff\xd8":
+        return None
+    i = 2
+    n = len(p)
+    while i + 4 <= n:
+        if p[i] != 0xFF:
+            break
+        marker = p[i + 1]
+        if marker == 0xD9 or marker == 0xDA:  # EOI / SOS
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # standalone markers
+            i += 2
+            continue
+        (seg_len,) = struct.unpack(">H", p[i + 2 : i + 4])
+        if marker in (0xC0, 0xC1, 0xC2):  # SOF0 baseline / ext / progressive
+            if i + 9 > n:
+                break
+            h, w = struct.unpack(">HH", p[i + 5 : i + 9])
+            return {"container": "jpeg", "width": w, "height": h, "n_frames": 1}
+        i += 2 + seg_len
+    return {"container": "jpeg", "width": 0, "height": 0, "n_frames": 0}
+
+
 def decode_media(payload: bytes) -> dict:
     """Sniff the container by magic and parse its header. Corrupt/unknown
     payloads yield zeroed features (container='unknown'), never an error."""
     p = payload or b""
-    for dec in (_decode_png, _decode_gif, _decode_wav):
+    for dec in (_decode_png, _decode_gif, _decode_wav, _decode_jpeg):
         meta = dec(p)
         if meta is not None:
             return meta
@@ -211,9 +240,14 @@ def _be32_small(e: str) -> str:  # values ≤ 65535
     return f"'0000' || {_byte_hex(f'floor(({e})/256)')} || {_byte_hex(f'({e})%256')}"
 
 
+def _be16(e: str) -> str:  # values ≤ 65535
+    return f"{_byte_hex(f'floor(({e})/256)')} || {_byte_hex(f'({e})%256')}"
+
+
 def media_payload_hex_sql(dialect: str, text_col: str = "text", key_col: str = "doc_id") -> str:
-    """Lowercase hex of the synthetic payload, as a SQL expression valid in the
-    given dialect ('spark' | 'duck'). kind = [image, audio, video][doc_id % 3].
+    """Lowercase hex of the synthetic payload, as a SQL expression valid in
+    the given dialect ('spark' | 'duck').
+    kind rotation: doc_id % 4 → [png, wav, gif, jpeg].
     """
     m = f"md5({text_col})"
     b = [_hx2int(f"substr({m}, {1 + 2 * i}, 2)", dialect) for i in range(4)]
@@ -237,9 +271,20 @@ def media_payload_hex_sql(dialect: str, text_col: str = "text", key_col: str = "
         f"'401f0000' || '401f0000' || '0100' || '0800' || "
         f"'64617461' || {_byte_hex(datasize)} || '000000' || repeat({m}, {r})"
     )
+    # JPEG: SOI + JFIF APP0 + COM segment of r md5 repeats (exercises the
+    # marker walk with a variable-length skip) + SOF0 (height/width BE) + EOI
+    com_len = f"(2 + 16 * {r})"
+    jpeg = (
+        f"'ffd8' || 'ffe00010' || '4a46494600' || '0101' || '00' || "
+        f"'0001' || '0001' || '0000' || "
+        f"'fffe' || {_be16(com_len)} || repeat({m}, {r}) || "
+        f"'ffc0' || '0011' || '08' || {_be16(h)} || {_be16(w)} || "
+        f"'03' || '012200' || '021101' || '031101' || 'ffd9'"
+    )
     return (
-        f"CASE CAST(({key_col}) % 3 AS INT) "
-        f"WHEN 0 THEN ({png}) WHEN 1 THEN ({wav}) ELSE ({gif}) END"
+        f"CASE CAST(({key_col}) % 4 AS INT) "
+        f"WHEN 0 THEN ({png}) WHEN 1 THEN ({wav}) WHEN 2 THEN ({gif}) "
+        f"ELSE ({jpeg}) END"
     )
 
 
@@ -248,12 +293,17 @@ def synthesize_media(spark, docs: DataFrame, key_col: str = "doc_id", text_col: 
     PNG / WAV / GIF payloads built from the shared hex expression, so the
     DuckDB oracle can reproduce payload, dimensions, and checksum exactly."""
     kinds = F.element_at(
-        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.col(key_col) % 3 + 1).cast("int"),
+        F.array(
+            F.lit("image"), F.lit("audio"), F.lit("video"), F.lit("image")
+        ),
+        (F.col(key_col) % 4 + 1).cast("int"),
     )
     mimes = F.element_at(
-        F.array(F.lit("image/png"), F.lit("audio/wav"), F.lit("image/gif")),
-        (F.col(key_col) % 3 + 1).cast("int"),
+        F.array(
+            F.lit("image/png"), F.lit("audio/wav"), F.lit("image/gif"),
+            F.lit("image/jpeg"),
+        ),
+        (F.col(key_col) % 4 + 1).cast("int"),
     )
     hex_expr = media_payload_hex_sql("spark", text_col=text_col, key_col=key_col)
     return docs.select(

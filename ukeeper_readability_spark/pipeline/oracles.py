@@ -253,18 +253,19 @@ def media_features_sql() -> str:
     b = [f"('0x' || substr(md5(text), {1 + 2 * i}, 2))::INT" for i in range(4)]
     return f"""
         WITH p AS (
-            SELECT doc_id, (doc_id % 3) AS k, {hexpr} AS ph,
+            SELECT doc_id, (doc_id % 4) AS k, {hexpr} AS ph,
                    1 + {b[0]} AS w, 1 + {b[1]} AS h,
                    1 + ({b[2]}) % 8 AS f, 1 + ({b[3]}) % 4 AS r
             FROM documents
         )
         SELECT CAST(doc_id AS BIGINT) AS media_id,
-               ['image', 'audio', 'video'][k + 1] AS kind,
-               ['png', 'wav', 'gif'][k + 1] AS container,
+               ['image', 'audio', 'video', 'image'][k + 1] AS kind,
+               ['png', 'wav', 'gif', 'jpeg'][k + 1] AS container,
                CAST(length(ph) / 2 AS BIGINT) AS n_bytes,
                CAST(CASE WHEN k = 1 THEN 0 ELSE w END AS INT) AS width,
                CAST(CASE WHEN k = 1 THEN 0 ELSE h END AS INT) AS height,
-               CAST(CASE k WHEN 0 THEN 1 WHEN 1 THEN 16 * r ELSE f END AS INT) AS n_frames,
+               CAST(CASE k WHEN 0 THEN 1 WHEN 1 THEN 16 * r
+                           WHEN 2 THEN f ELSE 1 END AS INT) AS n_frames,
                ph AS checksum_hex
         FROM p
     """
