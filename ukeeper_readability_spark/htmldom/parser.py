@@ -602,16 +602,8 @@ class _TreeBuilder:
 
     # -- token dispatch --------------------------------------------------------
     def process(self, kind, data, attrs, self_closing):
-        if kind == TOK_DOCTYPE:
-            if self.html is None:
-                self.doc.append_child(Node(DOCTYPE_NODE, data))
-            return
-        if kind == TOK_COMMENT:
-            target = self._current() if self.body is not None else (self.html or self.doc)
-            if self.phase == self.IN_HEAD and self.head is not None:
-                target = self.head
-            target.append_child(Node(COMMENT_NODE, data))
-            return
+        # dispatch ordered by token frequency: text/start/end dominate real
+        # documents; comments and doctype are one-offs
         if kind == TOK_TEXT:
             if self.phase == self.IN_BODY:
                 self._insert_text(data)
@@ -633,8 +625,19 @@ class _TreeBuilder:
             return
         if kind == TOK_START:
             self._start_tag(data, attrs, self_closing)
-        else:
+            return
+        if kind == TOK_END:
             self._end_tag(data)
+            return
+        if kind == TOK_COMMENT:
+            target = self._current() if self.body is not None else (self.html or self.doc)
+            if self.phase == self.IN_HEAD and self.head is not None:
+                target = self.head
+            target.append_child(Node(COMMENT_NODE, data))
+            return
+        # TOK_DOCTYPE
+        if self.html is None:
+            self.doc.append_child(Node(DOCTYPE_NODE, data))
 
     # -- start tags --------------------------------------------------------------
     def _start_tag(self, name, attrs, self_closing):
