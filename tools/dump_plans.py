@@ -66,12 +66,22 @@ def main():
     q = emb.select(F.col("vec_id").alias("query_id"), "embedding")
     pairs = minhash_lsh_pairs(docs, shingle_n=2, k=8, bands=4)
     sections.append((
-        "MinHash+LSH pairs: explode → partial-min groupBy(doc) → band exchange → capped bucket self-join",
+        "MinHash+LSH pairs (round 4): map-side signatures → ONE exchange on the "
+        "band key (groupBy + collect_list) → in-row pair expansion; no join, "
+        "no window",
         explain(pairs),
     ))
     sections.append((
-        "n-gram Jaccard: shingles LeftSemi-pruned to candidate docs BEFORE the wide join (round-2 fix)",
+        "n-gram Jaccard (round 4): per-doc shingle ARRAYs map-side, LeftSemi "
+        "prune, one join per pair side, in-row array_intersect — the exploded "
+        "shingle relation is gone",
         explain(ngram_jaccard(docs, pairs, shingle_n=2)),
+    ))
+    from ukeeper_readability_spark.pipeline.dedup import dedup_components
+    sections.append((
+        "Dedup connected components (one propagation round): join + groupBy on "
+        "node id over localCheckpoint'd inputs — constant-size plan per round",
+        explain(dedup_components(pairs, max_iters=1)),
     ))
     sections.append((
         "Embedding near-dup: count-window bucket cap BEFORE the within-bucket self-join (round-2 fix)",
@@ -131,10 +141,11 @@ def main():
         "`ReadSchema` on the FileScan (column pruning — no role/ts), exactly one",
         "`Exchange hashpartitioning` (the explicit conv_id+salt repartition),",
         "`BroadcastHashJoin` (never SortMergeJoin) for the rules lookup.",
-        "The dedup self-joins (minhash bucket join, jaccard intersection) DO use",
-        "SortMergeJoin — correct for big-big joins where neither side fits in a",
-        "broadcast; AQE demotes them to broadcast at runtime when a side is small.",
-        "These properties are also asserted by tests/test_plan_shape.py.",
+        "Round 4: minhash pair generation is JOIN-FREE (one groupBy on the band",
+        "key + in-row expansion) and jaccard keeps shingles as in-row arrays —",
+        "the only remaining dedup joins are the per-pair side lookups and the",
+        "embedding bucket self-join, where AQE picks broadcast vs SortMergeJoin",
+        "from runtime sizes. All asserted by tests/test_plan_shape.py.",
         "",
     ]
     for title, plan in sections:
