@@ -645,7 +645,10 @@ def _q_charset_transcode(spark, sf_dir):
 
     from ukeeper_readability_spark.data.synth import (
         CHARSET_1251_WRAP_SQL,
+        CHARSET_BIG5_WRAP_SQL,
+        CHARSET_EUCKR_WRAP_SQL,
         CHARSET_GBK_WRAP_SQL,
+        CHARSET_ISO2022_WRAP_SQL,
         CHARSET_SJIS_WRAP_SQL,
     )
     from ukeeper_readability_spark.jobs.extract_job import run_extraction_bytes
@@ -654,6 +657,9 @@ def _q_charset_transcode(spark, sf_dir):
         ("cp1251", "windows-1251", CHARSET_1251_WRAP_SQL),
         ("cp932", "shift_jis", CHARSET_SJIS_WRAP_SQL),
         ("gbk", "gbk", CHARSET_GBK_WRAP_SQL),
+        ("cp949", "euc-kr", CHARSET_EUCKR_WRAP_SQL),
+        ("big5", "big5", CHARSET_BIG5_WRAP_SQL),
+        ("iso2022_jp", "iso-2022-jp", CHARSET_ISO2022_WRAP_SQL),
     ]
     def make_encoder(codec):
         @F.pandas_udf(BinaryType())
@@ -684,15 +690,23 @@ def _q_charset_transcode(spark, sf_dir):
                 "title", "content", "excerpt", "type", "charset",
             )
         )
-    return outs[0].unionAll(outs[1]).unionAll(outs[2])
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
 
 
 def _oracle_charset_transcode() -> str:
     from ukeeper_readability_spark.data.synth import (
         CHARSET_1251_WRAP_SQL,
+        CHARSET_BIG5_WRAP_SQL,
+        CHARSET_EUCKR_WRAP_SQL,
         CHARSET_GBK_WRAP_SQL,
+        CHARSET_ISO2022_WRAP_SQL,
         CHARSET_SJIS_WRAP_SQL,
+        big5_sql,
         cyr_sql,
+        euckr_sql,
         gbk_sql,
         sjis_sql,
     )
@@ -702,6 +716,9 @@ def _oracle_charset_transcode() -> str:
         ("windows-1251", CHARSET_1251_WRAP_SQL, cyr_sql, "'Док '"),
         ("shift_jis", CHARSET_SJIS_WRAP_SQL, sjis_sql, "'ドク '"),
         ("gbk", CHARSET_GBK_WRAP_SQL, gbk_sql, "'文档 '"),
+        ("euc-kr", CHARSET_EUCKR_WRAP_SQL, euckr_sql, "'문서 '"),
+        ("big5", CHARSET_BIG5_WRAP_SQL, big5_sql, "'檔案 '"),
+        ("iso-2022-jp", CHARSET_ISO2022_WRAP_SQL, sjis_sql, "'ドク '"),
     ]:
         content = translate("d.text")
         parts.append(f"""

@@ -276,10 +276,16 @@ def test_harness_payload_roundtrip():
     HARNESS encode codec (cp932/gbk materialize the bytes) and the Go-table
     decoder — i.e. sit on cells where both tables agree."""
     from ukeeper_readability_spark.data.synth import (
-        CYR_TO, GBK_TO, SJIS_TO,
+        BIG5_TO, CYR_TO, EUCKR_TO, GBK_TO, SJIS_TO,
     )
-    assert len(SJIS_TO) == 26 and len(GBK_TO) == 26 and len(CYR_TO) == 26
-    sjis_payload = "ドク 7 " + SJIS_TO + " !"
-    assert decode_mb(sjis_payload.encode("cp932"), "shift_jis") == sjis_payload
-    gbk_payload = "文档 7 " + GBK_TO + " !"
-    assert decode_mb(gbk_payload.encode("gbk"), "gbk") == gbk_payload
+    for alpha in (SJIS_TO, GBK_TO, CYR_TO, EUCKR_TO, BIG5_TO):
+        assert len(alpha) == 26
+    for prefix, alpha, codec, fam in [
+        ("ドク 7 ", SJIS_TO, "cp932", "shift_jis"),
+        ("文档 7 ", GBK_TO, "gbk", "gbk"),
+        ("문서 7 ", EUCKR_TO, "cp949", "euc-kr"),
+        ("檔案 7 ", BIG5_TO, "big5", "big5"),
+        ("ドク 7 ", SJIS_TO, "iso2022_jp", "iso-2022-jp"),
+    ]:
+        payload = prefix + alpha + " !"
+        assert decode_mb(payload.encode(codec), fam) == payload, fam

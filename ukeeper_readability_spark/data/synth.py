@@ -182,6 +182,44 @@ CHARSET_GBK_WRAP_SQL = (
     + " || '</p></div></body></html>'"
 )
 
+# remaining CJK families: hangul (euc-kr), traditional hanzi (big5 common
+# zone — none of the 203 HKSCS-divergent cells), and the same katakana via
+# the stateful ISO-2022-JP escape encoding
+EUCKR_FROM = "abcdefghijklmnopqrstuvwxyz"
+EUCKR_TO = "가나다라마바사아자차카타파하거너더러머버서어저처커터"
+BIG5_FROM = "abcdefghijklmnopqrstuvwxyz"
+BIG5_TO = "一二三四五六七八九十百千萬上下左右中大小人口日月水火"
+
+
+def euckr_sql(col: str) -> str:
+    return f"translate({col}, '{EUCKR_FROM}', '{EUCKR_TO}')"
+
+
+def big5_sql(col: str) -> str:
+    return f"translate({col}, '{BIG5_FROM}', '{BIG5_TO}')"
+
+
+CHARSET_EUCKR_WRAP_SQL = (
+    "'<html><head><title>문서 ' || doc_id || '</title>"
+    "<meta charset=\"euc-kr\"></head>"
+    "<body><div class=\"content\"><p>' || " + euckr_sql("text")
+    + " || '</p></div></body></html>'"
+)
+
+CHARSET_BIG5_WRAP_SQL = (
+    "'<html><head><title>檔案 ' || doc_id || '</title>"
+    "<meta charset=\"big5\"></head>"
+    "<body><div class=\"content\"><p>' || " + big5_sql("text")
+    + " || '</p></div></body></html>'"
+)
+
+CHARSET_ISO2022_WRAP_SQL = (
+    "'<html><head><title>ドク ' || doc_id || '</title>"
+    "<meta charset=\"iso-2022-jp\"></head>"
+    "<body><div class=\"content\"><p>' || " + sjis_sql("text")
+    + " || '</p></div></body></html>'"
+)
+
 # charset-report variant: declared windows-1251 via http-equiv meta — the P1
 # path (extractor/text.go:83-88); the text is already decoded so only the
 # REPORTED charset changes, matching the reference's windows-1251 fixture setup
