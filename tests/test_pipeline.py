@@ -194,3 +194,36 @@ def test_dedup_components_empty_and_strings(spark):
     got = {r.doc_id: r.component_id for r in dedup_components(pairs).collect()}
     # string min is BINARY collation: 'd10' < 'd2' < 'd3'
     assert got == {"d2": "d10", "d10": "d10", "d3": "d10"}
+
+
+def test_dedup_components_star_mode_low_rounds_on_path(spark):
+    """Large-star/small-star (Kiveris et al. 2014) converges in O(log^2 n)
+    rounds regardless of diameter: on a 64-node path it finishes inside 8
+    rounds, where 8 rounds of min-label propagation provably cannot (labels
+    move one hop per round). This is the adversarial-graph safety argument
+    for mode='star' at scale."""
+    from ukeeper_readability_spark.pipeline.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 64)], "doc_a long, doc_b long"
+    )
+    star = {
+        r.doc_id: r.component_id
+        for r in dedup_components(pairs, max_iters=8, mode="star").collect()
+    }
+    assert star == {i: 1 for i in range(1, 65)}
+    prop = {
+        r.doc_id: r.component_id
+        for r in dedup_components(pairs, max_iters=8).collect()
+    }
+    assert prop != star  # diameter-bound: 8 rounds cannot traverse 63 hops
+
+
+def test_dedup_components_modes_agree(spark):
+    from ukeeper_readability_spark.pipeline.dedup import dedup_components
+
+    rows = [(2, 1), (2, 3), (5, 6), (6, 7), (9, 9), (10, 3)]
+    pairs = spark.createDataFrame(rows, "doc_a long, doc_b long")
+    a = sorted(map(tuple, dedup_components(pairs).collect()))
+    b = sorted(map(tuple, dedup_components(pairs, mode="star").collect()))
+    assert a == b

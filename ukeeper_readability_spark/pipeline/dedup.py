@@ -243,27 +243,34 @@ def dedup_components(
     key_a: str = "doc_a",
     key_b: str = "doc_b",
     max_iters: int = 20,
+    mode: str = "propagate",
 ) -> DataFrame:
     """Connected components over the candidate-pair graph: (doc_id,
     component_id), where component_id is the MIN doc id in the component —
     the canonical representative production dedup keeps.
 
-    Min-label propagation: every node starts labeled with itself; each round
-    takes the min label over itself and its neighbors; stops when no label
-    changes. Round count = graph diameter. An LSH candidate graph is a union
-    of per-bucket cliques, so duplicate chains hop at most a handful of
-    buckets (diameter ~ bands, not n) — the right regime for propagation.
-    For arbitrary/adversarial graphs swap the round body for alternating
-    large-star/small-star (Kiveris et al., "Connected Components in
-    MapReduce and Beyond", 2014), which converges in O(log^2 n) rounds with
-    the same per-round shuffle shape.
+    mode="propagate" (default): min-label propagation — every node starts
+    labeled with itself; each round takes the min label over itself and its
+    neighbors; stops when no label changes. Round count = graph DIAMETER.
+    An LSH candidate graph is a union of per-bucket cliques, so duplicate
+    chains hop at most a handful of buckets (diameter ~ bands, not n) — the
+    right regime for propagation.
 
-    Each round is one join + one groupBy, both keyed on node id (AQE picks
-    the strategy); lineage is cut per round with localCheckpoint so the plan
-    stays constant-size across iterations — on a real cluster point
+    mode="star": alternating large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", 2014) — converges in
+    O(log^2 n) rounds regardless of diameter, the safe choice for
+    arbitrary/adversarial graphs (a crawl-chain corpus can legally produce a
+    path graph, where propagation needs n rounds).
+    tests/test_pipeline.py demonstrates the separation on a 64-node path.
+
+    Each round is join + groupBy keyed on node id (AQE picks the strategy);
+    lineage is cut per round with localCheckpoint so the plan stays
+    constant-size across iterations — on a real cluster point
     spark.checkpoint.dir at durable storage and use checkpoint() instead.
-    Only the CONVERGENCE COUNTER crosses the driver, never labels.
+    Only the CONVERGENCE COUNTER crosses the driver, never labels/edges.
     """
+    if mode == "star":
+        return _components_star(pairs, key_a, key_b, max_iters)
     sym = pairs.select(F.col(key_a).alias("u"), F.col(key_b).alias("v"))
     sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.localCheckpoint(eager=True)
@@ -302,3 +309,91 @@ def dedup_components(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
     )
+
+
+def _components_star(
+    pairs: DataFrame, key_a: str, key_b: str, max_iters: int
+) -> DataFrame:
+    """Alternating large-star/small-star rounds (Kiveris et al. 2014 §3).
+
+    Edges are kept canonical as (u, v) with u > v. Per round:
+      large-star: for each node u over its FULL neighborhood N(u),
+        m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u;
+      small-star: for each node u over its smaller neighbors
+        N⁻(u) = {v : v < u}, m = min(N⁻(u) ∪ {u}); emit (v, m) for
+        v ∈ N⁻(u) ∪ {u}, v ≠ m.
+    At the fixpoint every component is a star rooted at its minimum; labels
+    read directly off the edges. Fixpoint detection compares the canonical
+    edge set's (count, xor-of-hashes) fingerprint between rounds — the
+    operators converge monotonically, so a stable fingerprint is a stable
+    set. Nodes that lose all edges en route (already-rooted singleton
+    stars) are re-attached from the original node set at the end.
+    """
+    nodes = (
+        pairs.select(F.col(key_a).alias("n"))
+        .union(pairs.select(F.col(key_b).alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        pairs.select(
+            F.greatest(F.col(key_a), F.col(key_b)).alias("u"),
+            F.least(F.col(key_a), F.col(key_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def fingerprint(edges):
+        row = edges.select(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("x"),
+        ).collect()[0]
+        return row.n, row.x
+
+    fp = fingerprint(e)
+    for _ in range(max_iters):
+        # ---- large-star over the symmetric neighborhood ----
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m"))
+        )
+        e = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # ---- small-star over the smaller-neighbor lists (u > v already) ----
+        mins = (
+            e.groupBy("u")
+            .agg(F.min("v").alias("m"))  # m = min(N⁻(u)) < u = min(N⁻ ∪ {u})
+        )
+        joined = e.join(mins, "u")
+        e = (
+            joined.select(
+                F.greatest(F.col("v"), F.col("m")).alias("u"),
+                F.least(F.col("v"), F.col("m")).alias("v"),
+            )
+            .union(
+                joined.select(F.col("u"), F.col("m").alias("v")).distinct()
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_fp = fingerprint(e)
+        if new_fp == fp:
+            break
+        fp = new_fp
+    # at the fixpoint e = {(member, root)}; singletons have no edge
+    roots = e.select(F.col("u").alias("doc_id"), F.col("v").alias("component_id"))
+    singles = nodes.join(
+        e.select(F.col("u").alias("n")), "n", "left_anti"
+    ).select(F.col("n").alias("doc_id"), F.col("n").alias("component_id"))
+    return roots.union(singles)
