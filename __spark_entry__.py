@@ -300,6 +300,32 @@ def _q_jaccard(spark, sf_dir):
     return ngram_jaccard(corpus, pairs, shingle_n=3)
 
 
+def _q_dedup_canonical(spark, sf_dir):
+    """The full production dedup chain in one query: minhash-LSH candidates
+    → exact-jaccard verification (threshold 0.5) → connected components →
+    a canonical id for EVERY corpus doc (docs in no verified pair are their
+    own canonical). This is the end-to-end composition a training-data
+    pipeline actually ships; each stage is also gated separately."""
+    from ukeeper_readability_spark.pipeline.dedup import dedup_components
+
+    corpus = _dup_corpus(spark, sf_dir)
+    pairs = minhash_lsh_pairs(corpus, shingle_n=3, k=8, bands=4, portable=True)
+    verified = (
+        ngram_jaccard(corpus, pairs, shingle_n=3)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    comp = dedup_components(verified)
+    return (
+        corpus.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", "doc_id").alias("canonical_id"),
+        )
+    )
+
+
 def _q_dedup_components(spark, sf_dir):
     """Connected components over the LSH candidate graph — the step that
     turns candidate PAIRS into dedup CLUSTERS with a canonical (min-id)
@@ -952,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_pairs": _q_minhash_pairs,
         "dedup_ngram_jaccard": _q_jaccard,
         "dedup_components": _q_dedup_components,
+        "dedup_canonical": _q_dedup_canonical,
         "dedup_simhash": _q_simhash,
         "text_token_counts": _q_token_counts,
         "text_language_id": _q_language_id,
@@ -994,6 +1021,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh_pairs": _po.minhash_pairs_sql(3, 8, 4),
         "dedup_ngram_jaccard": _po.jaccard_sql(3, 8, 4),
         "dedup_components": _po.dedup_components_sql(3, 8, 4),
+        "dedup_canonical": _po.dedup_canonical_sql(3, 8, 4, 0.5),
         "dedup_simhash": _po.simhash_sql(16),
         "text_token_counts": _po.token_counts_sql(),
         "text_language_id": _po.language_id_sql(STOPWORDS, TRIGRAMS),

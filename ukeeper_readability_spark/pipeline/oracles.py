@@ -112,6 +112,39 @@ def dedup_components_sql(shingle_n: int = 3, k: int = 8, bands: int = 4) -> str:
     """
 
 
+def dedup_canonical_sql(
+    shingle_n: int = 3, k: int = 8, bands: int = 4, threshold: float = 0.5
+) -> str:
+    """End-to-end dedup chain oracle: jaccard-verified LSH pairs → recursive
+    reachability components → canonical id per corpus doc (self when in no
+    verified pair)."""
+    return f"""
+        WITH RECURSIVE corpus AS ({DUP_CORPUS_SQL}),
+        verified AS (
+            SELECT doc_a, doc_b FROM ({jaccard_sql(shingle_n, k, bands)}) j
+            WHERE j.jaccard >= {threshold}
+        ),
+        e AS (
+            SELECT doc_a AS u, doc_b AS v FROM verified
+            UNION
+            SELECT doc_b AS u, doc_a AS v FROM verified
+        ),
+        reach AS (
+            SELECT u AS node, u AS lab FROM e
+            UNION
+            SELECT e.v AS node, reach.lab AS lab
+            FROM reach JOIN e ON e.u = reach.node
+        ),
+        comp AS (
+            SELECT node AS doc_id, min(lab) AS component_id
+            FROM reach GROUP BY node
+        )
+        SELECT c.doc_id,
+               COALESCE(comp.component_id, c.doc_id) AS canonical_id
+        FROM corpus c LEFT JOIN comp USING (doc_id)
+    """
+
+
 def simhash_sql(bits: int = 16) -> str:
     hexchars = bits // 4
     h = f"CAST(('0x' || substr(md5(t), 1, {hexchars})) AS BIGINT)"
