@@ -208,3 +208,37 @@ def test_sessionize_bucketed_read_no_exchange(spark, tmp_path):
     b = sorted(map(tuple, plain.collect()))
     assert a == b
     spark.sql("DROP TABLE IF EXISTS t_ev_bkt")
+
+
+def test_sessionize_bucketed_reregistration(spark, tmp_path):
+    """Second ensure_events_bucketed over existing files takes the
+    external-table DDL branch (cross-session reuse pattern): same rows, same
+    exchange-free plan, no rewrite."""
+    import datetime
+    import os
+
+    from ukeeper_readability_spark.pipeline.sessions import (
+        ensure_events_bucketed,
+        sessionize,
+    )
+
+    rows = [
+        (i, datetime.datetime(2026, 1, 1, 0, i % 60), i % 5, "c", float(i))
+        for i in range(100)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    path = str(tmp_path / "ev_bkt2")
+    first = ensure_events_bucketed(spark, ev, path, table="t_ev_rereg", nbuckets=4)
+    expected = sorted(map(tuple, sessionize(first, gap_minutes=30).collect()))
+    mtimes = {f: os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)}
+    again = ensure_events_bucketed(spark, ev, path, table="t_ev_rereg", nbuckets=4)
+    out = sessionize(again, gap_minutes=30)
+    assert "Exchange" not in _plan(out)
+    assert sorted(map(tuple, out.collect())) == expected
+    # the DDL branch must NOT rewrite the data files
+    assert mtimes == {
+        f: os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)
+    }
+    spark.sql("DROP TABLE IF EXISTS t_ev_rereg")
