@@ -289,3 +289,33 @@ def test_harness_payload_roundtrip():
     ]:
         payload = prefix + alpha + " !"
         assert decode_mb(payload.encode(codec), fam) == payload, fam
+
+
+def test_gb18030_four_byte_differential():
+    """The 4-byte gb18030 path (range-table binary search + the linear
+    supplementary-plane formula) agrees with Python's gb18030 codec on every
+    WELL-FORMED sequence it defines — deterministic sample over the lattice
+    plus the plane boundaries."""
+    import itertools
+
+    seqs = [
+        bytes((c0, c1, c2, c3))
+        for c0, c1, c2, c3 in itertools.product(
+            range(0x81, 0xFF, 13), range(0x30, 0x3A, 3),
+            range(0x81, 0xFF, 17), range(0x30, 0x3A, 4),
+        )
+    ]
+    # boundaries: first/last BMP lattice points, first/last supplementary
+    seqs += [b"\x81\x30\x81\x30", b"\x84\x39\xfe\x39",
+             b"\x90\x30\x81\x30", b"\xe3\x32\x9a\x35"]
+    diffs = 0
+    for seq in seqs:
+        go = decode_mb(seq, "gb18030")
+        try:
+            py = seq.decode("gb18030")
+        except UnicodeDecodeError:
+            continue  # undefined in python codec: covered by the 2-byte pins
+        if go != py:
+            diffs += 1
+    assert diffs == 0
+    assert decode_mb(b"\xe3\x32\x9a\x35", "gb18030") == "\U0010FFFF"
