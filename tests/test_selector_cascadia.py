@@ -225,6 +225,32 @@ def test_i_flag_simple_fold_not_full_fold():
     assert ids('<p id=a title="K"></p>', '[title="k" i]') == ["a"]
 
 
+def test_i_flag_simple_fold_orbits():
+    """strings.EqualFold equates whole SimpleFold ORBITS, including pairs of
+    distinct lowercase runes lower() can't collapse (unicode.SimpleFold
+    cycles; FOLD_ORBIT_EXCEPTIONS generated by tools/gen_fold_orbits.py)."""
+    # '\u017f' long s \u2261 's' (orbit {S, s, \u017f})
+    assert ids('<p id=a title="\u017f"></p>', '[title="s" i]') == ["a"]
+    assert ids('<p id=a title="s"></p>', '[title="\u017f" i]') == ["a"]
+    # '\u03c2' final sigma \u2261 '\u03c3' sigma \u2261 '\u03a3'
+    assert ids('<p id=a title="\u03c2"></p>', '[title="\u03c3" i]') == ["a"]
+    assert ids('<p id=a title="\u03c2"></p>', '[title="\u03a3" i]') == ["a"]
+    # \u00b5 micro \u2261 \u03bc greek mu \u2261 \u039c capital mu
+    assert ids('<p id=a title="\u00b5"></p>', '[title="\u03bc" i]') == ["a"]
+    assert ids('<p id=a title="\u039c"></p>', '[title="\u00b5" i]') == ["a"]
+    # iota orbit: \u03b9 \u2261 \u0399 \u2261 U+0345 \u2261 U+1FBE
+    assert ids('<p id=a title="\u1fbe"></p>', '[title="\u03b9" i]') == ["a"]
+    assert ids('<p id=a title="\u0345"></p>', '[title="\u0399" i]') == ["a"]
+    # ~= word-include branch folds orbits too
+    assert ids('<p id=a class="\u03c2 x"></p>', '[class~="\u03c3" i]') == ["a"]
+    # Turkish-conditional \u0130/\u0131 are NOT fold-equal in Go (status T)
+    assert ids('<p id=a title="\u0131"></p>', '[title="I" i]') == []
+    assert ids('<p id=a title="\u0131"></p>', '[title="i" i]') == []
+    assert ids('<p id=a title="\u0130"></p>', '[title="i" i]') == []
+    # orbits never cross: \u03c3 does not match s
+    assert ids('<p id=a title="\u03c3"></p>', '[title="s" i]') == []
+
+
 def test_i_flag_include_splits_go_whitespace_only():
     """[k~=v i] splits on ' \\t\\r\\n\\f' exactly — NBSP and other Unicode
     whitespace are part of the token, matching cascadia (selector.go)."""
@@ -253,6 +279,13 @@ RE2_REJECTED = [
     r"[x#=[\b]]",             # backspace class escape (RE2: error)
     r"p:matches((?=x)y)",
     r"p:matchesown((a)\1)",
+    r"[x#=(?#note)a]",        # comment group (RE2: error)
+    r"[x#=a\u0061b]",        # \uXXXX escape (RE2 spells it \x{...})
+    r"[x#=a\U00000061b]",     # \UXXXXXXXX escape
+    r"[x#=\N{BULLET}a]",      # \N{NAME} escape
+    r"[x#=[\u0061]b]",       # \u inside a character class too
+    r"p:matches((?#c)x)",
+    r"p:matchesown(a\u0062b)",
 ]
 
 

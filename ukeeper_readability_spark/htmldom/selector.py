@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import re
 
+from .folddata import FOLD_ORBIT_EXCEPTIONS
 from .node import COMMENT_NODE, DOCUMENT_NODE, ELEMENT_NODE, TEXT_NODE, Node
 
 _WS = " \t\r\n\f"
@@ -103,14 +104,21 @@ class _IdSel:
 
 
 def _simple_fold(s: str) -> str:
-    """Per-rune case folding approximating Go's strings.EqualFold
-    (unicode.SimpleFold cycles): never changes string length, so full-fold
-    pairs like 'ß'/'SS' stay UNequal, matching Go. A rune whose Python
-    lower() expands (e.g. U+0130) has no simple fold — keep it as-is."""
+    """Per-rune case folding matching Go's strings.EqualFold
+    (unicode.SimpleFold orbit equality): each rune canonicalizes to a fixed
+    representative of its SimpleFold orbit — per-rune lower() when length-
+    preserving, overridden by the generated FOLD_ORBIT_EXCEPTIONS table for
+    orbits lower() can't collapse ('ſ'/'s', 'ς'/'σ', 'µ' U+00B5/'μ' U+03BC,
+    Greek symbol variants, …). Never changes string length, so full-fold
+    pairs like 'ß'/'SS' stay UNequal, matching Go; Turkish-conditional
+    İ/ı stay singletons (EqualFold("ı","I") is false in Go)."""
     out = []
     for ch in s:
-        low = ch.lower()
-        out.append(low if len(low) == 1 else ch)
+        rep = FOLD_ORBIT_EXCEPTIONS.get(ch)
+        if rep is None:
+            low = ch.lower()
+            rep = low if len(low) == 1 else ch
+        out.append(rep)
     return "".join(out)
 
 
@@ -160,6 +168,7 @@ _RE2_REJECT_GROUPS = (
     ("(?<!", "negative lookbehind"),
     ("(?>", "atomic group"),
     ("(?(", "conditional group"),
+    ("(?#", "comment group"),
 )
 
 
@@ -187,6 +196,11 @@ def _re2_unsafe(p: str):
                 return "\\Z (RE2 spells end-of-text \\z)"
             if nxt == "g":
                 return "\\g backreference"
+            if nxt in "uUN":
+                # Python accepts \uXXXX / \UXXXXXXXX / \N{NAME} (also inside
+                # character classes); RE2 errors on all three — it spells
+                # codepoints \x{...} only.
+                return "\\" + nxt + " escape (RE2 spells codepoints \\x{...})"
             if nxt == "b" and in_class:
                 return "[\\b] backspace escape"
             i += 2
