@@ -212,11 +212,35 @@ def test_dedup_components_star_mode_low_rounds_on_path(spark):
         for r in dedup_components(pairs, max_iters=8, mode="star").collect()
     }
     assert star == {i: 1 for i in range(1, 65)}
-    prop = {
-        r.doc_id: r.component_id
-        for r in dedup_components(pairs, max_iters=8).collect()
-    }
+    with pytest.warns(UserWarning, match="did not converge"):
+        prop = {
+            r.doc_id: r.component_id
+            for r in dedup_components(
+                pairs, max_iters=8, on_exhaustion="partial"
+            ).collect()
+        }
     assert prop != star  # diameter-bound: 8 rounds cannot traverse 63 hops
+
+
+def test_dedup_components_exhaustion_never_silent(spark):
+    """ADVICE r4: propagate exhausting max_iters must not return partial
+    labels silently — default falls back to star (correct result + warning);
+    on_exhaustion='raise' raises."""
+    from ukeeper_readability_spark.pipeline.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 64)], "doc_a long, doc_b long"
+    )
+    with pytest.warns(UserWarning, match="falling back to mode='star'"):
+        got = {
+            r.doc_id: r.component_id
+            for r in dedup_components(pairs, max_iters=8).collect()
+        }
+    assert got == {i: 1 for i in range(1, 65)}  # fallback result is CORRECT
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_components(pairs, max_iters=8, on_exhaustion="raise").collect()
+    with pytest.raises(ValueError):
+        dedup_components(pairs, max_iters=8, on_exhaustion="nope")
 
 
 def test_dedup_components_modes_agree(spark):

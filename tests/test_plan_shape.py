@@ -170,6 +170,14 @@ def test_minhash_pairs_single_band_exchange_no_join(spark):
         if "Exchange hashpartitioning" in ln and "band" in ln
     ]
     assert len(band_exchanges) == 1, plan
+    # VERDICT r4 item 5: pin the TOTAL exchange count — the band groupBy plus
+    # the final pair-dedup distinct (a pair surfacing in multiple bands must
+    # be emitted once), and nothing else. Data-sized rows cross a shuffle
+    # exactly twice: once as (doc_id, band_key), once as a candidate pair.
+    all_exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(all_exchanges) == 2, plan
     # correctness: same-residue docs (8 per class) still pair up
     assert out.count() > 0
 
@@ -242,3 +250,73 @@ def test_sessionize_bucketed_reregistration(spark, tmp_path):
         f: os.path.getmtime(os.path.join(path, f)) for f in os.listdir(path)
     }
     spark.sql("DROP TABLE IF EXISTS t_ev_rereg")
+
+
+def test_sessionize_bucketed_marker_guards(spark, tmp_path):
+    """ADVICE r4: re-registration must VERIFY the persisted bucket spec —
+    registering DDL over files written with a different nbuckets/sort (or an
+    interrupted write) would elide the Exchange on wrong metadata and return
+    silently wrong sessions. Mismatch and missing-marker both raise."""
+    import datetime
+    import json
+    import os
+
+    import pytest
+
+    from ukeeper_readability_spark.pipeline.sessions import (
+        _BUCKET_SPEC_FILE,
+        ensure_events_bucketed,
+    )
+
+    rows = [
+        (i, datetime.datetime(2026, 1, 1, 0, i % 60), i % 5, "c", float(i))
+        for i in range(60)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    path = str(tmp_path / "ev_guard")
+    ensure_events_bucketed(spark, ev, path, table="t_ev_guard", nbuckets=4)
+    spec = json.load(open(os.path.join(path, _BUCKET_SPEC_FILE)))
+    assert spec == {
+        "nbuckets": 4,
+        "bucket_col": "user_id",
+        "sort_cols": ["user_id", "ts", "event_id"],
+    }
+    # different nbuckets than the files were written with → refuse
+    with pytest.raises(ValueError, match="bucket layout mismatch"):
+        ensure_events_bucketed(spark, ev, path, table="t_ev_guard", nbuckets=8)
+    # different sort spec → refuse
+    with pytest.raises(ValueError, match="bucket layout mismatch"):
+        ensure_events_bucketed(
+            spark, ev, path, table="t_ev_guard", nbuckets=4, order_tiebreak="value"
+        )
+    # interrupted/foreign write (part- files, no marker) → refuse
+    os.remove(os.path.join(path, _BUCKET_SPEC_FILE))
+    with pytest.raises(ValueError, match="no _bucket_spec.json marker"):
+        ensure_events_bucketed(spark, ev, path, table="t_ev_guard", nbuckets=4)
+    spark.sql("DROP TABLE IF EXISTS t_ev_guard")
+
+
+def test_sessionize_bucketed_small_corpus_warns(spark, tmp_path):
+    """VERDICT r4 item 6: the 100 TB layout is corpus-sized — warn when
+    buckets average under MIN_AVG_ROWS_PER_BUCKET rows so the per-file
+    overhead regime (measured in BENCH.md) is visible to the caller."""
+    import datetime
+
+    import pytest
+
+    from ukeeper_readability_spark.pipeline.sessions import ensure_events_bucketed
+
+    rows = [
+        (i, datetime.datetime(2026, 1, 1, 0, i % 60), i % 5, "c", float(i))
+        for i in range(60)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    with pytest.warns(UserWarning, match="rows/bucket"):
+        ensure_events_bucketed(
+            spark, ev, str(tmp_path / "ev_small"), table="t_ev_small", nbuckets=4
+        )
+    spark.sql("DROP TABLE IF EXISTS t_ev_small")

@@ -17,6 +17,8 @@ groups. Skewed buckets (boilerplate-identical shingles) are capped by
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -116,9 +118,10 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-duplicate pairs (doc_a < doc_b) via banded minhash LSH.
 
-    bands × rows-per-band = k. Pairs emerge from a self-join per bucket; buckets
-    larger than `max_bucket` (degenerate boilerplate) are dropped — at web scale
-    those are handled by exact dedup first.
+    bands × rows-per-band = k. Pairs emerge join-free from in-row expansion
+    of per-bucket id lists (two exchanges total — see the inline note);
+    buckets larger than `max_bucket` (degenerate boilerplate) are dropped —
+    at web scale those are handled by exact dedup first.
     """
     rows_per_band = k // bands
     sig = minhash_signatures(docs, text_col, key_col, shingle_n, k, portable)
@@ -132,9 +135,13 @@ def minhash_lsh_pairs(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
-    # ONE shuffle on the band key (groupBy with map-side partial agg), then
-    # in-row pair expansion — replaces the former window-cap + bucket
-    # self-join, which shuffled the bucket rows twice on the same key.
+    # TWO exchanges total, plan-pinned (tests/test_plan_shape.py): the band
+    # key groupBy (map-side partial agg), then the final distinct's exchange
+    # on the emitted PAIRS — required because a near-dup pair can collide in
+    # several bands and must be emitted once; it shuffles candidate pairs,
+    # bounded by candidate count, never bucket contents. The in-row pair
+    # expansion replaces the former window-cap + bucket self-join, which
+    # shuffled the bucket ROWS twice on the same key.
     # Per-row memory stays O(max_bucket): posexplode pins doc_a, the inner
     # slice holds only the ids after it, and each emitted pair is a row.
     # doc_a < doc_b falls out of array_sort (same binary string collation as
@@ -244,6 +251,7 @@ def dedup_components(
     key_b: str = "doc_b",
     max_iters: int = 20,
     mode: str = "propagate",
+    on_exhaustion: str = "star",
 ) -> DataFrame:
     """Connected components over the candidate-pair graph: (doc_id,
     component_id), where component_id is the MIN doc id in the component —
@@ -268,9 +276,18 @@ def dedup_components(
     constant-size across iterations — on a real cluster point
     spark.checkpoint.dir at durable storage and use checkpoint() instead.
     Only the CONVERGENCE COUNTER crosses the driver, never labels/edges.
+
+    Propagation that EXHAUSTS max_iters without converging has wrong labels
+    for any component wider than max_iters hops — never returned silently
+    (ADVICE r4). `on_exhaustion` picks the recovery: "star" (default) warns
+    and re-solves with the diameter-independent star mode; "raise" raises
+    RuntimeError; "partial" warns and returns the unconverged labels (for
+    diagnostics/tests only).
     """
     if mode == "star":
         return _components_star(pairs, key_a, key_b, max_iters)
+    if on_exhaustion not in ("star", "raise", "partial"):
+        raise ValueError(f"on_exhaustion: {on_exhaustion!r}")
     sym = pairs.select(F.col(key_a).alias("u"), F.col(key_b).alias("v"))
     sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.localCheckpoint(eager=True)
@@ -280,6 +297,7 @@ def dedup_components(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iters):
         nb = (
             sym.join(
@@ -305,7 +323,22 @@ def dedup_components(
         )
         labels = stepped.select("node", F.col("new_label").alias("label"))
         if stepped.filter("_chg").limit(1).count() == 0:
+            converged = True
             break
+    if not converged:
+        msg = (
+            f"dedup_components(mode='propagate') did not converge in "
+            f"{max_iters} rounds — a component is wider than max_iters hops"
+        )
+        if on_exhaustion == "raise":
+            raise RuntimeError(msg)
+        if on_exhaustion == "star":
+            warnings.warn(
+                msg + "; falling back to mode='star' (O(log^2 n) rounds)",
+                stacklevel=2,
+            )
+            return _components_star(pairs, key_a, key_b, max_iters)
+        warnings.warn(msg + "; returning PARTIAL labels", stacklevel=2)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
     )

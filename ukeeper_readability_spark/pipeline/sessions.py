@@ -14,11 +14,22 @@ required distribution, leaving only per-partition local sorts.
 
 from __future__ import annotations
 
+import json
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+#: marker written next to the bucketed files; leading "_" keeps it out of
+#: Spark's data-file listing (same convention as _SUCCESS)
+_BUCKET_SPEC_FILE = "_bucket_spec.json"
+
+#: below this average per-bucket row count the bucketed layout's per-file
+#: overhead outweighs the shuffle it avoids (measured in BENCH.md: at 100k
+#: events / 64 buckets the bucketed read is SLOWER than the 240 KB shuffle)
+MIN_AVG_ROWS_PER_BUCKET = 4096
 
 
 def sessionize(
@@ -76,7 +87,19 @@ def ensure_events_bucketed(
     groupBy both run WITHOUT an Exchange (plan-asserted in
     tests/test_plan_shape.py). Files written by a previous session are
     re-registered via external-table DDL — bucket metadata lives in the
-    catalog, the bucket id lives in the file names Spark wrote.
+    catalog, the bucket id lives in the file names Spark wrote. The first
+    write drops a `_bucket_spec.json` marker (nbuckets, bucket/sort columns)
+    next to the files; re-registration VERIFIES the marker and raises on a
+    mismatch or an interrupted/foreign write — registering DDL the files
+    don't satisfy would make the exchange-free sessionize silently wrong.
+
+    Corpus sizing: bucketing pays off when buckets hold at least a few
+    thousand rows each (MIN_AVG_ROWS_PER_BUCKET); below that the per-file
+    open/footer overhead of nbuckets near-empty parquet files costs more
+    than the small shuffle it avoids (BENCH.md measures the crossover). A
+    warning fires in that regime — shrink nbuckets or keep the plain
+    layout. At the 10^12-row target, size nbuckets so each bucket is a few
+    hundred MB of parquet.
 
     Iceberg equivalent (env has no Iceberg runtime jar, CLAUDE.md):
         CREATE TABLE events (...) USING iceberg
@@ -87,6 +110,12 @@ def ensure_events_bucketed(
     ddl = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in events.schema.fields
     )
+    spec = {
+        "nbuckets": nbuckets,
+        "bucket_col": user_col,
+        "sort_cols": [user_col, ts_col, order_tiebreak],
+    }
+    marker = os.path.join(path, _BUCKET_SPEC_FILE)
     have_files = os.path.isdir(path) and any(
         fn.startswith("part-") for fn in os.listdir(path)
     )
@@ -99,7 +128,27 @@ def ensure_events_bucketed(
             .option("path", path)
             .saveAsTable(table)
         )
+        # marker LAST: an interrupted write leaves part- files with no
+        # marker, which the re-registration branch refuses below
+        with open(marker, "w") as f:
+            json.dump(spec, f)
     else:
+        if not os.path.isfile(marker):
+            raise ValueError(
+                f"{path} has data files but no {_BUCKET_SPEC_FILE} marker "
+                "(interrupted or foreign write?) — refusing to register a "
+                "bucket layout the files may not have; delete the directory "
+                "and rewrite"
+            )
+        with open(marker) as f:
+            existing = json.load(f)
+        if existing != spec:
+            raise ValueError(
+                f"bucket layout mismatch at {path}: files were written with "
+                f"{existing}, caller asked for {spec} — registering the "
+                "requested DDL would silently corrupt exchange-free "
+                "sessionize results; delete the directory to rewrite"
+            )
         spark.sql(
             f"""
             CREATE TABLE {table} ({ddl}) USING PARQUET
@@ -109,4 +158,16 @@ def ensure_events_bucketed(
             LOCATION '{path}'
             """
         )
-    return spark.table(table)
+    out = spark.table(table)
+    # parquet metadata-only count: cheap even at scale
+    n = out.count()
+    if n and n / nbuckets < MIN_AVG_ROWS_PER_BUCKET:
+        warnings.warn(
+            f"events_bucketed: {n} rows across {nbuckets} buckets averages "
+            f"{n // nbuckets} rows/bucket (< {MIN_AVG_ROWS_PER_BUCKET}); at "
+            "this size the bucketed read's per-file overhead exceeds the "
+            "shuffle it avoids (see BENCH.md) — shrink nbuckets or keep the "
+            "plain layout",
+            stacklevel=2,
+        )
+    return out
