@@ -291,6 +291,47 @@ def test_harness_payload_roundtrip():
         assert decode_mb(payload.encode(codec), fam) == payload, fam
 
 
+# ---------------------------------------------------------------------------
+# VERDICT r4 item 7: encode-with-Python → decode-with-mbcodec fixpoint
+# properties per family over the WHATWG-agreeing payload alphabets, so a
+# future table regeneration that skews an agreeing cell breaks HERE (fast,
+# no Spark) before it silently skews the transcode-gate corpus.
+# ---------------------------------------------------------------------------
+
+def _roundtrip_cases():
+    from ukeeper_readability_spark.data.synth import (
+        BIG5_TO, EUCKR_TO, GBK_TO, SJIS_TO,
+    )
+    ascii_safe = "abc XYZ 012 .,!?\"'<>/=~-_"
+    return [
+        ("gbk", "gbk", GBK_TO + ascii_safe),
+        # gb18030 adds the 2-byte extension (Ā) and the 4-byte lattice
+        # (㐀 BMP tail, U+20000 supplementary plane)
+        ("gb18030", "gb18030", GBK_TO + "Ā㐀\U00020000" + ascii_safe),
+        ("big5", "big5", BIG5_TO + ascii_safe),
+        ("shift_jis", "cp932", SJIS_TO + ascii_safe),
+        ("euc-jp", "euc_jp", SJIS_TO + "日本語" + ascii_safe),
+        ("euc-kr", "cp949", EUCKR_TO + ascii_safe),
+        ("iso-2022-jp", "iso2022_jp", SJIS_TO + "日本語" + ascii_safe),
+    ]
+
+
+@pytest.mark.parametrize(
+    "family,codec,alphabet", _roundtrip_cases(),
+    ids=[c[0] for c in _roundtrip_cases()],
+)
+def test_roundtrip_property_per_family(family, codec, alphabet):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.text(alphabet=list(alphabet), max_size=40))
+    @settings(max_examples=200, deadline=None)
+    def check(text):
+        assert decode_mb(text.encode(codec), family) == text
+
+    check()
+
+
 def test_gb18030_four_byte_differential():
     """The 4-byte gb18030 path (range-table binary search + the linear
     supplementary-plane formula) agrees with Python's gb18030 codec on every

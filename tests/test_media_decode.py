@@ -2,7 +2,11 @@
 
 import struct
 
-from ukeeper_readability_spark.pipeline.multimodal import decode_media
+from ukeeper_readability_spark.pipeline.multimodal import _ZERO_META, decode_media
+
+
+def _full(container, **kw):
+    return dict(_ZERO_META, container=container, **kw)
 
 
 def _png(w, h):
@@ -37,12 +41,12 @@ def _wav(n_samples, block_align=2):
 
 def test_png_ihdr():
     m = decode_media(_png(640, 480))
-    assert m == {"container": "png", "width": 640, "height": 480, "n_frames": 1}
+    assert m == _full("png", width=640, height=480, n_frames=1)
 
 
 def test_gif_block_walk():
     m = decode_media(_gif(320, 200, 5))
-    assert m == {"container": "gif", "width": 320, "height": 200, "n_frames": 5}
+    assert m == _full("gif", width=320, height=200, n_frames=5)
     # with a global color table and extensions the walk still lands on frames
     m2 = decode_media(_gif(16, 16, 3, gct=True, ext=True))
     assert (m2["n_frames"], m2["width"]) == (3, 16)
@@ -50,7 +54,7 @@ def test_gif_block_walk():
 
 def test_wav_chunk_walk():
     m = decode_media(_wav(1000, block_align=2))
-    assert m == {"container": "wav", "width": 0, "height": 0, "n_frames": 1000}
+    assert m == _full("wav", n_frames=1000, duration_ms=125, n_tracks=1)
 
 
 def _jpeg(w, h, com=b""):
@@ -65,7 +69,7 @@ def _jpeg(w, h, com=b""):
 
 def test_jpeg_sof_walk():
     m = decode_media(_jpeg(640, 480))
-    assert m == {"container": "jpeg", "width": 640, "height": 480, "n_frames": 1}
+    assert m == _full("jpeg", width=640, height=480, n_frames=1)
     # COM segment before SOF exercises the variable-length skip
     m = decode_media(_jpeg(12, 34, com=b"x" * 37))
     assert (m["width"], m["height"]) == (12, 34)
@@ -82,7 +86,7 @@ def test_unknown_and_corrupt_payloads():
     # JPEG magic with a lying APP0 length running past EOF: still a jpeg
     # container, zeroed dimensions, no crash
     m = decode_media(b"\xff\xd8\xff\xe0 not handled")
-    assert m == {"container": "jpeg", "width": 0, "height": 0, "n_frames": 0}
+    assert m == _full("jpeg")
     # SOS before any SOF: zeroed dims
     assert decode_media(b"\xff\xd8\xff\xda\x00\x02")["width"] == 0
     # truncated PNG signature-only must not crash
@@ -91,3 +95,79 @@ def test_unknown_and_corrupt_payloads():
     bad = b"GIF89a" + struct.pack("<HH", 4, 4) + b"\x00\x00\x00" + b"\x2c" + b"\x00" * 9 + b"\x02\xff"
     m = decode_media(bad)
     assert m["container"] == "gif" and m["n_frames"] == 1
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF (VERDICT r4 item 4)
+# ---------------------------------------------------------------------------
+
+
+def _box(typ, payload):
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def _mvhd(timescale, duration, version=0):
+    if version:
+        body = (b"\x01\x00\x00\x00" + b"\x00" * 16
+                + struct.pack(">IQ", timescale, duration))
+    else:
+        body = (b"\x00" * 4 + b"\x00" * 8
+                + struct.pack(">II", timescale, duration))
+    # rate, volume+reserved, reserved, matrix, pre_defined, next_track_id
+    body += b"\x00\x01\x00\x00" + b"\x01\x00\x00\x00" + b"\x00" * 8
+    body += (b"\x00\x01\x00\x00" + b"\x00" * 12) * 2 + b"\x40\x00\x00\x00"
+    body += b"\x00" * 24 + struct.pack(">I", 2)
+    return _box(b"mvhd", body)
+
+
+def _tkhd(track_id, w, h):
+    body = (b"\x00\x00\x00\x07" + b"\x00" * 8 + struct.pack(">I", track_id)
+            + b"\x00" * 4 + struct.pack(">I", 1000) + b"\x00" * 8
+            + b"\x00" * 8)
+    body += (b"\x00\x01\x00\x00" + b"\x00" * 12) * 2 + b"\x40\x00\x00\x00"
+    body += struct.pack(">II", w << 16, h << 16)
+    return _box(b"tkhd", body)
+
+
+def _mp4(w=320, h=240, tracks=1, timescale=1000, duration=2500, version=0):
+    ftyp = _box(b"ftyp", b"isom" + b"\x00\x00\x02\x00")
+    moov = _box(b"moov", _mvhd(timescale, duration, version)
+                + b"".join(_box(b"trak", _tkhd(i + 1, w, h))
+                           for i in range(tracks)))
+    return ftyp + moov + _box(b"mdat", b"\x00" * 16)
+
+
+def test_mp4_box_walk():
+    m = decode_media(_mp4(w=320, h=240, tracks=2, duration=2500))
+    assert m == _full("mp4", width=320, height=240, duration_ms=2500,
+                      n_tracks=2)
+    # version-1 mvhd carries 64-bit duration
+    m = decode_media(_mp4(duration=90000, timescale=600, version=1))
+    assert (m["duration_ms"], m["n_tracks"]) == (150000, 1)
+    # timescale in non-ms units
+    m = decode_media(_mp4(duration=1200, timescale=600))
+    assert m["duration_ms"] == 2000
+
+
+def test_mp4_largesize_and_eof_boxes():
+    ftyp = _box(b"ftyp", b"isom" + b"\x00\x00\x02\x00")
+    inner = _mvhd(1000, 750) + _box(b"trak", _tkhd(1, 64, 32))
+    # moov written with size==1 + 64-bit largesize
+    moov = (struct.pack(">I", 1) + b"moov"
+            + struct.pack(">Q", 16 + len(inner)) + inner)
+    # trailing mdat with size==0 (extends to EOF)
+    tail = struct.pack(">I", 0) + b"mdat" + b"\x00" * 5
+    m = decode_media(ftyp + moov + tail)
+    assert m == _full("mp4", width=64, height=32, duration_ms=750, n_tracks=1)
+
+
+def test_mp4_corrupt_never_raises():
+    # ftyp magic alone: an mp4 container with zeroed features
+    assert decode_media(_box(b"ftyp", b"isom")) == _full("mp4")
+    # lying box size running past EOF stops the walk, keeps prior finds
+    good = _mp4(tracks=1)
+    assert decode_media(good[:40])["container"] == "mp4"
+    truncated = good[: len(good) - 10]
+    assert decode_media(truncated)["n_tracks"] == 1
+    # a size smaller than its own header stops cleanly
+    bad = _box(b"ftyp", b"isom") + struct.pack(">I", 3) + b"moov"
+    assert decode_media(bad) == _full("mp4")

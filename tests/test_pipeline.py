@@ -104,8 +104,8 @@ def test_ann_bruteforce_self_similarity(spark):
 
 
 def test_media_features_real_headers(spark, docs):
-    """synthesize_media emits structurally valid PNG/WAV/GIF; media_features
-    parses the real headers (not a stub)."""
+    """synthesize_media emits structurally valid PNG/WAV/MP4/JPEG;
+    media_features parses the real headers (not a stub)."""
     import hashlib
 
     media = synthesize_media(spark, docs)
@@ -122,9 +122,11 @@ def test_media_features_real_headers(spark, docs):
     r1 = feats[1]  # doc 1 -> audio/wav
     assert (r1.kind, r1.container) == ("audio", "wav")
     assert (r1.width, r1.height) == (0, 0) and r1.n_frames % 16 == 0
-    r2 = feats[2]  # doc 2 -> video/gif
-    assert (r2.kind, r2.container) == ("video", "gif")
-    assert 1 <= r2.n_frames <= 8
+    r2 = feats[2]  # doc 2 -> video/mp4 (real ISO-BMFF, round 5)
+    assert (r2.kind, r2.container) == ("video", "mp4")
+    assert 1 <= r2.n_tracks <= 2 and r2.n_frames == 0
+    assert r2.duration_ms % 500 == 0 and 500 <= r2.duration_ms <= 2000
+    assert r2.width > 0 and r2.height > 0
 
 
 def test_embedding_near_dup_hot_bucket_cap(spark):

@@ -9,16 +9,24 @@ replaced the round-1 deterministic fake):
   - GIF: logical screen descriptor width/height + a full block walk counting
     image descriptors (frames), honoring global/local color tables and
     extension sub-blocks (GIF89a spec §§18-23);
-  - WAV: RIFF/WAVE chunk walk; frame count = data size / fmt block-align.
-Pixel/sample DECODING (LZW, IDAT inflate, PCM) is out of scope — no codec
-libs in this container; a PIL/ffmpeg call slots in behind the same function
-for full decode. Unknown containers yield zeroed dimensions, never an error
-(at 10^12 rows every corrupt header WILL occur).
+  - WAV: RIFF/WAVE chunk walk; frame count = data size / fmt block-align,
+    channels + sample rate → duration;
+  - JPEG: SOI marker-segment walk to the first SOF frame header;
+  - MP4: ISO-BMFF box walk (ISO/IEC 14496-12) — ftyp sniff, moov → mvhd
+    (timescale, duration), trak count, first tkhd 16.16 width/height;
+    handles 64-bit largesize and to-EOF boxes.
+Pixel/sample DECODING (LZW, IDAT inflate, PCM, AVC) is out of scope — no
+codec libs in this container; a PIL/ffmpeg call slots in behind the same
+function for full decode. Unknown containers yield zeroed dimensions, never
+an error (at 10^12 rows every corrupt header WILL occur).
 
-`synthesize_media` builds structurally valid PNG/GIF/WAV payloads from
+`synthesize_media` builds structurally valid PNG/WAV/MP4/JPEG payloads from
 documents via a SHARED hex-string SQL expression (media_payload_hex_sql) that
 DuckDB evaluates identically — so the driver's oracle value-hash-checks real
-header parsing end-to-end, including the payload checksum.
+header parsing end-to-end, including the payload checksum. The video slot of
+the doc_id % 4 rotation carries a real MP4 since round 5 (VERDICT r4 item 4);
+GIF stays as a decoder (real-world payloads) but leaves the synthetic
+rotation.
 """
 
 from __future__ import annotations
@@ -56,9 +64,21 @@ MEDIA_FEATURES_SCHEMA = StructType(
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("n_frames", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("n_tracks", IntegerType()),
         StructField("checksum_hex", StringType()),
     ]
 )
+
+#: every decoder fills what its container defines; the rest stay zeroed
+_ZERO_META = {
+    "container": "unknown",
+    "width": 0,
+    "height": 0,
+    "n_frames": 0,
+    "duration_ms": 0,
+    "n_tracks": 0,
+}
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -117,21 +137,26 @@ def _decode_wav(p: bytes) -> dict | None:
         return None
     i = 12
     block_align = 1
+    channels = 0
+    sample_rate = 0
     data_size = 0
     n = len(p)
     while i + 8 <= n:
         cid = p[i : i + 4]
         (size,) = struct.unpack("<I", p[i + 4 : i + 8])
         if cid == b"fmt " and i + 22 <= n:
+            (channels,) = struct.unpack("<H", p[i + 10 : i + 12])
+            (sample_rate,) = struct.unpack("<I", p[i + 12 : i + 16])
             (block_align,) = struct.unpack("<H", p[i + 20 : i + 22])
         elif cid == b"data":
             data_size = size
         i += 8 + size + (size & 1)  # chunks are word-aligned
+    frames = data_size // max(block_align, 1)
     return {
         "container": "wav",
-        "width": 0,
-        "height": 0,
-        "n_frames": data_size // max(block_align, 1),
+        "n_frames": frames,
+        "duration_ms": frames * 1000 // sample_rate if sample_rate else 0,
+        "n_tracks": channels,
     }
 
 
@@ -164,15 +189,72 @@ def _decode_jpeg(p: bytes) -> dict | None:
     return {"container": "jpeg", "width": 0, "height": 0, "n_frames": 0}
 
 
+def _decode_mp4(p: bytes) -> dict | None:
+    """ISO-BMFF box walk (ISO/IEC 14496-12 §4.2): sniff on the top-level
+    `ftyp` box, then recurse into `moov` for `mvhd` (movie timescale +
+    duration → duration_ms), count `trak` boxes, and read the first `tkhd`'s
+    16.16 fixed-point width/height. Handles version-1 (64-bit) mvhd, the
+    size==1 largesize header, and size==0 to-EOF boxes. n_frames stays 0 —
+    a real frame count needs an stts/stsz sample-table parse, which is
+    codec-adjacent and out of scope like pixel decode."""
+    if len(p) < 12 or p[4:8] != b"ftyp":
+        return None
+    meta = dict(_ZERO_META, container="mp4")
+    seen_tkhd = False
+
+    def walk(lo: int, hi: int, depth: int) -> None:
+        nonlocal seen_tkhd
+        j = lo
+        while j + 8 <= hi and depth < 8:
+            (size,) = struct.unpack(">I", p[j : j + 4])
+            typ = p[j + 4 : j + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize follows the type
+                if j + 16 > hi:
+                    return
+                (size,) = struct.unpack(">Q", p[j + 8 : j + 16])
+                hdr = 16
+            elif size == 0:  # box extends to end of enclosing container
+                size = hi - j
+            if size < hdr or j + size > hi:
+                return  # corrupt size: stop, keep what we have
+            body_lo, body_hi = j + hdr, j + size
+            if typ == b"moov":
+                walk(body_lo, body_hi, depth + 1)
+            elif typ == b"trak":
+                meta["n_tracks"] += 1
+                walk(body_lo, body_hi, depth + 1)
+            elif typ == b"mvhd" and body_hi - body_lo >= 20:
+                ver = p[body_lo]
+                if ver == 1 and body_hi - body_lo >= 32:
+                    (ts,) = struct.unpack(">I", p[body_lo + 20 : body_lo + 24])
+                    (dur,) = struct.unpack(">Q", p[body_lo + 24 : body_lo + 32])
+                else:
+                    ts, dur = struct.unpack(
+                        ">II", p[body_lo + 12 : body_lo + 20]
+                    )
+                if ts:
+                    meta["duration_ms"] = dur * 1000 // ts
+            elif typ == b"tkhd" and not seen_tkhd and body_hi - body_lo >= 84:
+                # width/height are the LAST 8 bytes of the box, both versions
+                w16, h16 = struct.unpack(">II", p[body_hi - 8 : body_hi])
+                meta["width"], meta["height"] = w16 >> 16, h16 >> 16
+                seen_tkhd = True
+            j += size
+
+    walk(0, len(p), 0)
+    return meta
+
+
 def decode_media(payload: bytes) -> dict:
     """Sniff the container by magic and parse its header. Corrupt/unknown
     payloads yield zeroed features (container='unknown'), never an error."""
     p = payload or b""
-    for dec in (_decode_png, _decode_gif, _decode_wav, _decode_jpeg):
+    for dec in (_decode_png, _decode_gif, _decode_wav, _decode_mp4, _decode_jpeg):
         meta = dec(p)
         if meta is not None:
-            return meta
-    return {"container": "unknown", "width": 0, "height": 0, "n_frames": 0}
+            return dict(_ZERO_META, **meta)
+    return dict(_ZERO_META)
 
 
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -181,7 +263,7 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             k: []
             for k in (
                 "media_id", "kind", "container", "n_bytes", "width", "height",
-                "n_frames", "checksum_hex",
+                "n_frames", "duration_ms", "n_tracks", "checksum_hex",
             )
         }
         for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
@@ -194,6 +276,8 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             rows["width"].append(meta["width"])
             rows["height"].append(meta["height"])
             rows["n_frames"].append(meta["n_frames"])
+            rows["duration_ms"].append(meta["duration_ms"])
+            rows["n_tracks"].append(meta["n_tracks"])
             rows["checksum_hex"].append(p.hex())
         yield pd.DataFrame(rows)
 
@@ -244,25 +328,56 @@ def _be16(e: str) -> str:  # values ≤ 65535
     return f"{_byte_hex(f'floor(({e})/256)')} || {_byte_hex(f'({e})%256')}"
 
 
+def _mp4_tkhd_hex(track_id_hex: str, dur: str, w: str, h: str) -> str:
+    """trak box (8 + 92 bytes) holding a version-0 tkhd: flags=7,
+    zeroed times, 4-byte duration, identity matrix, 16.16 width/height."""
+    matrix = (
+        "00010000" + "00000000" * 3 + "00010000" + "00000000" * 3 + "40000000"
+    )
+    return (
+        f"'000000647472616b' || '0000005c746b6864' || '00000007' || "
+        f"'0000000000000000' || '{track_id_hex}' || '00000000' || "
+        f"{_be32_small(dur)} || '{'00' * 8}' || '00000000' || '0000' || "
+        f"'0000' || '{matrix}' || {_be16(w)} || '0000' || {_be16(h)} || '0000'"
+    )
+
+
 def media_payload_hex_sql(dialect: str, text_col: str = "text", key_col: str = "doc_id") -> str:
     """Lowercase hex of the synthetic payload, as a SQL expression valid in
     the given dialect ('spark' | 'duck').
-    kind rotation: doc_id % 4 → [png, wav, gif, jpeg].
+    kind rotation: doc_id % 4 → [png, wav, mp4, jpeg].
     """
     m = f"md5({text_col})"
     b = [_hx2int(f"substr({m}, {1 + 2 * i}, 2)", dialect) for i in range(4)]
     w, h = f"(1 + {b[0]})", f"(1 + {b[1]})"
-    f_ = f"(1 + ({b[2]}) % 8)"
+    t_ = f"(1 + ({b[2]}) % 2)"
     r = f"(1 + ({b[3]}) % 4)"
 
     png = (
         f"'89504e470d0a1a0a' || '0000000d49484452' || {_be32_small(w)} || "
         f"{_be32_small(h)} || '0806000000' || '00000000' || {m}"
     )
-    gif_frame = f"'2c00000000' || {_le16(w)} || {_le16(h)} || '00' || '02' || '01aa' || '00'"
-    gif = (
-        f"'474946383961' || {_le16(w)} || {_le16(h)} || '000000' || "
-        f"repeat({gif_frame}, {f_}) || '3b'"
+    # MP4 (ISO-BMFF): ftyp(16) + moov(8 + mvhd 108 + t×trak 100) + mdat(8+16r)
+    # mvhd: version 0, timescale 1000, duration 500·r ms, rate 1.0, vol 1.0,
+    # identity matrix, next_track_id 3 — every field the decoder walks.
+    dur = f"(500 * {r})"
+    matrix = (
+        "00010000" + "00000000" * 3 + "00010000" + "00000000" * 3 + "40000000"
+    )
+    mvhd = (
+        f"'0000006c6d766864' || '00000000' || '0000000000000000' || "
+        f"'000003e8' || {_be32_small(dur)} || '00010000' || '01000000' || "
+        f"'{'00' * 8}' || '{matrix}' || '{'00' * 24}' || '00000003'"
+    )
+    trak1 = _mp4_tkhd_hex("00000001", dur, w, h)
+    trak2 = _mp4_tkhd_hex("00000002", dur, w, h)
+    moov = (
+        f"{_be32_small(f'116 + 100 * {t_}')} || '6d6f6f76' || {mvhd} || "
+        f"{trak1} || CASE WHEN {t_} = 2 THEN ({trak2}) ELSE '' END"
+    )
+    mp4 = (
+        f"'000000106674797069736f6d00000200' || {moov} || "
+        f"{_be32_small(f'8 + 16 * {r}')} || '6d646174' || repeat({m}, {r})"
     )
     datasize = f"(16 * {r})"
     wav = (
@@ -283,15 +398,16 @@ def media_payload_hex_sql(dialect: str, text_col: str = "text", key_col: str = "
     )
     return (
         f"CASE CAST(({key_col}) % 4 AS INT) "
-        f"WHEN 0 THEN ({png}) WHEN 1 THEN ({wav}) WHEN 2 THEN ({gif}) "
+        f"WHEN 0 THEN ({png}) WHEN 1 THEN ({wav}) WHEN 2 THEN ({mp4}) "
         f"ELSE ({jpeg}) END"
     )
 
 
 def synthesize_media(spark, docs: DataFrame, key_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Deterministic media table derived from documents: structurally valid
-    PNG / WAV / GIF payloads built from the shared hex expression, so the
-    DuckDB oracle can reproduce payload, dimensions, and checksum exactly."""
+    PNG / WAV / MP4 / JPEG payloads built from the shared hex expression, so
+    the DuckDB oracle can reproduce payload, dimensions, and checksum
+    exactly. The video slot is a real ISO-BMFF MP4 (round 5)."""
     kinds = F.element_at(
         F.array(
             F.lit("image"), F.lit("audio"), F.lit("video"), F.lit("image")
@@ -300,7 +416,7 @@ def synthesize_media(spark, docs: DataFrame, key_col: str = "doc_id", text_col: 
     )
     mimes = F.element_at(
         F.array(
-            F.lit("image/png"), F.lit("audio/wav"), F.lit("image/gif"),
+            F.lit("image/png"), F.lit("audio/wav"), F.lit("video/mp4"),
             F.lit("image/jpeg"),
         ),
         (F.col(key_col) % 4 + 1).cast("int"),

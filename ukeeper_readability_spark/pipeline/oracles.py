@@ -288,17 +288,23 @@ def media_features_sql() -> str:
         WITH p AS (
             SELECT doc_id, (doc_id % 4) AS k, {hexpr} AS ph,
                    1 + {b[0]} AS w, 1 + {b[1]} AS h,
-                   1 + ({b[2]}) % 8 AS f, 1 + ({b[3]}) % 4 AS r
+                   1 + ({b[2]}) % 2 AS t, 1 + ({b[3]}) % 4 AS r
             FROM documents
         )
         SELECT CAST(doc_id AS BIGINT) AS media_id,
                ['image', 'audio', 'video', 'image'][k + 1] AS kind,
-               ['png', 'wav', 'gif', 'jpeg'][k + 1] AS container,
+               ['png', 'wav', 'mp4', 'jpeg'][k + 1] AS container,
                CAST(length(ph) / 2 AS BIGINT) AS n_bytes,
                CAST(CASE WHEN k = 1 THEN 0 ELSE w END AS INT) AS width,
                CAST(CASE WHEN k = 1 THEN 0 ELSE h END AS INT) AS height,
                CAST(CASE k WHEN 0 THEN 1 WHEN 1 THEN 16 * r
-                           WHEN 2 THEN f ELSE 1 END AS INT) AS n_frames,
+                           WHEN 2 THEN 0 ELSE 1 END AS INT) AS n_frames,
+               -- wav: 16·r frames at 8000 Hz → 2·r ms; mp4: mvhd 500·r ms
+               CAST(CASE k WHEN 1 THEN 2 * r WHEN 2 THEN 500 * r
+                           ELSE 0 END AS BIGINT) AS duration_ms,
+               -- wav: mono fmt; mp4: t trak boxes
+               CAST(CASE k WHEN 1 THEN 1 WHEN 2 THEN t
+                           ELSE 0 END AS INT) AS n_tracks,
                ph AS checksum_hex
         FROM p
     """
