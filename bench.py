@@ -280,20 +280,71 @@ def main() -> None:
 
     # q4: minhash-LSH dedup over the materialized corpus text (all-JVM:
     # explode → partial-min groupBy → band shuffle → bucket self-join)
-    from ukeeper_readability_spark.pipeline import minhash_lsh_pairs
+    from ukeeper_readability_spark.pipeline import minhash_lsh_pairs, ngram_jaccard
+    from ukeeper_readability_spark.pipeline.dedup import dedup_components
     from ukeeper_readability_spark.pipeline.sessions import sessionize
+
+    def _dedup_corpus():
+        return load_transcripts(spark, paths["docs"]).select(
+            F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias("doc_id"),
+            "text",
+        )
 
     if wanted("dedup_minhash_lsh"):
         def minhash_thunk():
-            corpus = load_transcripts(spark, paths["docs"]).select(
-                F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias("doc_id"),
-                "text",
-            )
+            corpus = _dedup_corpus()
             n_docs = corpus.count()
             t0 = time.perf_counter()
             minhash_lsh_pairs(corpus, shingle_n=3, k=16, bands=4).count()
             return time.perf_counter() - t0, n_docs
         jobs.append(("dedup_minhash_lsh", minhash_thunk))
+
+    # q4b: the END-TO-END dedup chain (VERDICT r4 item 1): LSH candidates →
+    # exact-jaccard verify (≥ 0.5) → iterative connected components →
+    # canonical id for EVERY doc. The components stage is the riskiest scale
+    # path (join + groupBy + localCheckpoint per round); rounds-to-convergence
+    # for BOTH algorithms are reported in the JSON extras.
+    component_rounds: dict = {}
+    if wanted("dedup_canonical"):
+        def _verified_pairs(corpus):
+            pairs = minhash_lsh_pairs(corpus, shingle_n=3, k=16, bands=4)
+            return (
+                ngram_jaccard(corpus, pairs, shingle_n=3)
+                .filter(F.col("jaccard") >= 0.5)
+                .select("doc_a", "doc_b")
+            )
+
+        def canonical_thunk():
+            corpus = _dedup_corpus()
+            n_docs = corpus.count()
+            t0 = time.perf_counter()
+            st: dict = {}
+            comp = dedup_components(_verified_pairs(corpus), stats=st)
+            n = (
+                corpus.select("doc_id")
+                .join(comp, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("component_id", "doc_id").alias("canonical_id"),
+                )
+                .count()
+            )
+            assert n == n_docs, (n, n_docs)
+            component_rounds["propagate"] = st
+            return time.perf_counter() - t0, n_docs
+        jobs.append(("dedup_canonical", canonical_thunk))
+
+        def star_rounds_probe():
+            """Once per bench run (not a timed headline): the same verified
+            graph through mode='star', so BENCH records rounds-to-convergence
+            for the diameter-independent algorithm too."""
+            st: dict = {}
+            t0 = time.perf_counter()
+            dedup_components(
+                _verified_pairs(_dedup_corpus()), mode="star", stats=st
+            ).count()
+            st["wall_sec"] = round(time.perf_counter() - t0, 3)
+            component_rounds["star"] = st
 
     # q5: gap sessionization over the materialized events corpus (user
     # cardinality grows with the corpus, the realistic shape). events_scan
@@ -357,6 +408,8 @@ def main() -> None:
             dt, n = thunk()
             times[name].append(round(dt, 3))
             counts[name] = n
+    if wanted("dedup_canonical") and "propagate" in component_rounds:
+        star_rounds_probe()
 
     queries, rates, turns, rep_detail = {}, {}, {}, {}
     for name, _ in jobs:
@@ -372,10 +425,14 @@ def main() -> None:
             "spread": round(max(times[name]) - min(times[name]), 3),
         }
 
-    _finish(queries, rates, turns, sf_dir, cpus, spark, rep_detail)
+    extras = (
+        {"component_rounds": component_rounds} if component_rounds else None
+    )
+    _finish(queries, rates, turns, sf_dir, cpus, spark, rep_detail, extras)
 
 
-def _finish(queries, rates, turns, sf_dir, cpus, spark, rep_detail=None):
+def _finish(queries, rates, turns, sf_dir, cpus, spark, rep_detail=None,
+            extras=None):
     total = sum(queries.values())
     result = {
         "metric": "extraction wall-clock (sum of per-query medians)",
@@ -390,6 +447,8 @@ def _finish(queries, rates, turns, sf_dir, cpus, spark, rep_detail=None):
     if rep_detail:
         result["rep_protocol"] = "alternating-order full passes; queries=median"
         result["rep_detail"] = rep_detail
+    if extras:
+        result.update(extras)
     print(json.dumps(result))
     spark.stop()
 

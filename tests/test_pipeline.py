@@ -224,6 +224,36 @@ def test_dedup_components_star_mode_low_rounds_on_path(spark):
     assert prop != star  # diameter-bound: 8 rounds cannot traverse 63 hops
 
 
+def test_dedup_components_on_filter_derived_pairs(spark, docs):
+    """Regression (round 5): Catalyst's UnionBase.rewriteConstraints throws
+    'key not found: <attr>' on the component loops' self-union plans when the
+    edge input carries filter-derived constraints — exactly what the
+    production chain feeds them (jaccard >= threshold). Both modes must run
+    on that shape; dedup.py scopes constraint propagation off for the loop
+    and restores the session setting after."""
+    from ukeeper_readability_spark.pipeline.dedup import dedup_components
+
+    pairs = minhash_lsh_pairs(docs, shingle_n=3, k=8, bands=4)
+    verified = (
+        ngram_jaccard(docs, pairs, shingle_n=3)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    stats_p, stats_s = {}, {}
+    a = sorted(map(tuple, dedup_components(verified, stats=stats_p).collect()))
+    b = sorted(
+        map(tuple, dedup_components(verified, mode="star", stats=stats_s).collect())
+    )
+    assert a == b and len(a) > 0
+    assert stats_p["converged"] and stats_s["converged"]
+    assert stats_p["mode"] == "propagate" and stats_s["mode"] == "star"
+    assert stats_p["rounds"] >= 1 and stats_s["rounds"] >= 1
+    # the scope restored the caller's session setting
+    assert (
+        spark.conf.get("spark.sql.constraintPropagation.enabled") == "true"
+    )
+
+
 def test_dedup_components_exhaustion_never_silent(spark):
     """ADVICE r4: propagate exhausting max_iters must not return partial
     labels silently — default falls back to star (correct result + warning);

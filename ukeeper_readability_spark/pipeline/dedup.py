@@ -18,6 +18,7 @@ groups. Skewed buckets (boilerplate-identical shingles) are capped by
 from __future__ import annotations
 
 import warnings
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -245,6 +246,30 @@ def simhash(
     return agg.select("doc_id", sim.alias("simhash"))
 
 
+@contextmanager
+def _constraint_propagation_off(df: DataFrame):
+    """Catalyst's UnionBase.rewriteConstraints throws NoSuchElementException
+    ('key not found: <attr>') on the iterated self-union plans the component
+    algorithms build when the edge input carries filter-derived constraints
+    (reproduced on Spark 4.1.2 with jaccard-filtered candidate pairs; the
+    crash survives a localCheckpoint of the input). Constraint propagation
+    only adds inferred filters these loops don't need, so scope it OFF for
+    the iteration and restore the caller's setting after. Every DataFrame the
+    loop returns is materialized (localCheckpoint) inside the scope, so no
+    un-analyzed Union escapes it."""
+    spark = df.sparkSession
+    key = "spark.sql.constraintPropagation.enabled"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = "true"
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
 def dedup_components(
     pairs: DataFrame,
     key_a: str = "doc_a",
@@ -252,6 +277,7 @@ def dedup_components(
     max_iters: int = 20,
     mode: str = "propagate",
     on_exhaustion: str = "star",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over the candidate-pair graph: (doc_id,
     component_id), where component_id is the MIN doc id in the component —
@@ -283,69 +309,89 @@ def dedup_components(
     and re-solves with the diameter-independent star mode; "raise" raises
     RuntimeError; "partial" warns and returns the unconverged labels (for
     diagnostics/tests only).
+
+    Pass `stats={}` to receive rounds-to-convergence instrumentation:
+    {"mode", "rounds", "converged"} — the numbers BENCH.md reports for the
+    iterative stage of the dedup chain.
     """
+    if stats is None:
+        stats = {}
     if mode == "star":
-        return _components_star(pairs, key_a, key_b, max_iters)
+        return _components_star(pairs, key_a, key_b, max_iters, stats)
     if on_exhaustion not in ("star", "raise", "partial"):
         raise ValueError(f"on_exhaustion: {on_exhaustion!r}")
-    sym = pairs.select(F.col(key_a).alias("u"), F.col(key_b).alias("v"))
-    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    sym = sym.localCheckpoint(eager=True)
-    labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
-    )
-    converged = False
-    for _ in range(max_iters):
-        nb = (
-            sym.join(
-                labels.select(
-                    F.col("node").alias("v"), F.col("label").alias("vlab")
-                ),
-                "v",
-            )
-            .groupBy("u")
-            .agg(F.min("vlab").alias("nb_min"))
-            .withColumnRenamed("u", "node")
-        )
-        stepped = (
-            labels.join(nb, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nb_min", "label")).alias(
-                    "new_label"
-                ),
-                (F.coalesce("nb_min", "label") < F.col("label")).alias("_chg"),
-            )
+    with _constraint_propagation_off(pairs):
+        sym = pairs.select(F.col(key_a).alias("u"), F.col(key_b).alias("v"))
+        sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        sym = sym.localCheckpoint(eager=True)
+        labels = (
+            sym.select(F.col("u").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("label"))
             .localCheckpoint(eager=True)
         )
-        labels = stepped.select("node", F.col("new_label").alias("label"))
-        if stepped.filter("_chg").limit(1).count() == 0:
-            converged = True
-            break
-    if not converged:
-        msg = (
-            f"dedup_components(mode='propagate') did not converge in "
-            f"{max_iters} rounds — a component is wider than max_iters hops"
-        )
-        if on_exhaustion == "raise":
-            raise RuntimeError(msg)
-        if on_exhaustion == "star":
-            warnings.warn(
-                msg + "; falling back to mode='star' (O(log^2 n) rounds)",
-                stacklevel=2,
+        converged = False
+        rounds = 0
+        for _ in range(max_iters):
+            rounds += 1
+            nb = (
+                sym.join(
+                    labels.select(
+                        F.col("node").alias("v"), F.col("label").alias("vlab")
+                    ),
+                    "v",
+                )
+                .groupBy("u")
+                .agg(F.min("vlab").alias("nb_min"))
+                .withColumnRenamed("u", "node")
             )
-            return _components_star(pairs, key_a, key_b, max_iters)
-        warnings.warn(msg + "; returning PARTIAL labels", stacklevel=2)
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
-    )
+            stepped = (
+                labels.join(nb, "node", "left")
+                .select(
+                    "node",
+                    F.least(F.col("label"), F.coalesce("nb_min", "label")).alias(
+                        "new_label"
+                    ),
+                    (F.coalesce("nb_min", "label") < F.col("label")).alias("_chg"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            labels = stepped.select("node", F.col("new_label").alias("label"))
+            if stepped.filter("_chg").limit(1).count() == 0:
+                converged = True
+                break
+        stats.update(mode="propagate", rounds=rounds, converged=converged)
+        if not converged:
+            msg = (
+                f"dedup_components(mode='propagate') did not converge in "
+                f"{max_iters} rounds — a component is wider than max_iters hops"
+            )
+            if on_exhaustion == "raise":
+                raise RuntimeError(msg)
+            if on_exhaustion == "star":
+                warnings.warn(
+                    msg + "; falling back to mode='star' (O(log^2 n) rounds)",
+                    stacklevel=2,
+                )
+                fb: dict = {}
+                out = _components_star(pairs, key_a, key_b, max_iters, fb)
+                stats.update(
+                    mode="propagate->star", fallback_rounds=fb["rounds"],
+                    converged=fb["converged"],
+                )
+                return out
+            warnings.warn(msg + "; returning PARTIAL labels", stacklevel=2)
+        return labels.select(
+            F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+        )
 
 
 def _components_star(
-    pairs: DataFrame, key_a: str, key_b: str, max_iters: int
+    pairs: DataFrame,
+    key_a: str,
+    key_b: str,
+    max_iters: int,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Alternating large-star/small-star rounds (Kiveris et al. 2014 §3).
 
@@ -362,71 +408,80 @@ def _components_star(
     set. Nodes that lose all edges en route (already-rooted singleton
     stars) are re-attached from the original node set at the end.
     """
-    nodes = (
-        pairs.select(F.col(key_a).alias("n"))
-        .union(pairs.select(F.col(key_b).alias("n")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    e = (
-        pairs.select(
-            F.greatest(F.col(key_a), F.col(key_b)).alias("u"),
-            F.least(F.col(key_a), F.col(key_b)).alias("v"),
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-
-    def fingerprint(edges):
-        row = edges.select(
-            F.count(F.lit(1)).alias("n"),
-            F.bit_xor(F.xxhash64("u", "v")).alias("x"),
-        ).collect()[0]
-        return row.n, row.x
-
-    fp = fingerprint(e)
-    for _ in range(max_iters):
-        # ---- large-star over the symmetric neighborhood ----
-        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        mins = (
-            sym.groupBy("u")
-            .agg(F.min("v").alias("mv"))
-            .select("u", F.least("u", "mv").alias("m"))
-        )
-        e = (
-            sym.join(mins, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .filter(F.col("u") != F.col("v"))
+    with _constraint_propagation_off(pairs):
+        nodes = (
+            pairs.select(F.col(key_a).alias("n"))
+            .union(pairs.select(F.col(key_b).alias("n")))
             .distinct()
             .localCheckpoint(eager=True)
         )
-        # ---- small-star over the smaller-neighbor lists (u > v already) ----
-        mins = (
-            e.groupBy("u")
-            .agg(F.min("v").alias("m"))  # m = min(N⁻(u)) < u = min(N⁻ ∪ {u})
-        )
-        joined = e.join(mins, "u")
         e = (
-            joined.select(
-                F.greatest(F.col("v"), F.col("m")).alias("u"),
-                F.least(F.col("v"), F.col("m")).alias("v"),
-            )
-            .union(
-                joined.select(F.col("u"), F.col("m").alias("v")).distinct()
+            pairs.select(
+                F.greatest(F.col(key_a), F.col(key_b)).alias("u"),
+                F.least(F.col(key_a), F.col(key_b)).alias("v"),
             )
             .filter(F.col("u") != F.col("v"))
             .distinct()
             .localCheckpoint(eager=True)
         )
-        new_fp = fingerprint(e)
-        if new_fp == fp:
-            break
-        fp = new_fp
-    # at the fixpoint e = {(member, root)}; singletons have no edge
-    roots = e.select(F.col("u").alias("doc_id"), F.col("v").alias("component_id"))
-    singles = nodes.join(
-        e.select(F.col("u").alias("n")), "n", "left_anti"
-    ).select(F.col("n").alias("doc_id"), F.col("n").alias("component_id"))
-    return roots.union(singles)
+
+        def fingerprint(edges):
+            row = edges.select(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64("u", "v")).alias("x"),
+            ).collect()[0]
+            return row.n, row.x
+
+        fp = fingerprint(e)
+        converged = False
+        rounds = 0
+        for _ in range(max_iters):
+            rounds += 1
+            # ---- large-star over the symmetric neighborhood ----
+            sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            mins = (
+                sym.groupBy("u")
+                .agg(F.min("v").alias("mv"))
+                .select("u", F.least("u", "mv").alias("m"))
+            )
+            e = (
+                sym.join(mins, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            # ---- small-star over the smaller-neighbor lists (u > v already) ----
+            mins = (
+                e.groupBy("u")
+                .agg(F.min("v").alias("m"))  # m = min(N⁻(u)) < u = min(N⁻ ∪ {u})
+            )
+            joined = e.join(mins, "u")
+            e = (
+                joined.select(
+                    F.greatest(F.col("v"), F.col("m")).alias("u"),
+                    F.least(F.col("v"), F.col("m")).alias("v"),
+                )
+                .union(
+                    joined.select(F.col("u"), F.col("m").alias("v")).distinct()
+                )
+                .filter(F.col("u") != F.col("v"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            new_fp = fingerprint(e)
+            if new_fp == fp:
+                converged = True
+                break
+            fp = new_fp
+        if stats is not None:
+            stats.update(mode="star", rounds=rounds, converged=converged)
+        # at the fixpoint e = {(member, root)}; singletons have no edge
+        roots = e.select(F.col("u").alias("doc_id"), F.col("v").alias("component_id"))
+        singles = nodes.join(
+            e.select(F.col("u").alias("n")), "n", "left_anti"
+        ).select(F.col("n").alias("doc_id"), F.col("n").alias("component_id"))
+        # materialize INSIDE the scope: the closing union must not be
+        # analyzed after constraint propagation is restored
+        return roots.union(singles).localCheckpoint(eager=True)
