@@ -136,6 +136,78 @@ def _warm(spark, cpus: int) -> None:
     _force(run_extraction(join_rules(warm, None), num_partitions=cpus * 2))
 
 
+def _bench_rules_df(spark, sf_dir: str, rule_mode: str = "half"):
+    """The 25-ish-row rules dimension, materialized EAGERLY so timed regions
+    measure extraction, not the documents-scan that derives the synthetic
+    dimension (in production rules are a tiny cached table)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    rules_sql = _BENCH_RULES_SQL
+    if rule_mode == "all":
+        rules_sql = rules_sql.replace(
+            "(pmod(xxhash64(source), 2) = 0) AS enabled", "TRUE AS enabled"
+        )
+    elif rule_mode == "none":
+        rules_sql = rules_sql.replace(
+            "(pmod(xxhash64(source), 2) = 0) AS enabled", "FALSE AS enabled"
+        )
+    rule_rows = spark.sql(rules_sql).collect()
+    return spark.createDataFrame(
+        rule_rows,
+        "id string, domain string, content string, enabled boolean, use_cloudflare boolean",
+    )
+
+
+def _rulebatch_mode(spark, sf_dir: str, cpus: int) -> None:
+    """VERDICT r4 item 2: Arrow maxRecordsPerBatch sweep on the rule-path
+    corpus (light ~2 KB docs), inside ONE Spark session so all batch sizes
+    share the same corpus, warm workers and clock window. The per-round
+    scaling driver runs this at both core counts; BENCH.md records whether
+    the 0.665 rule-path efficiency is batch-size-addressable or IPC-fixed."""
+    copies = int(os.environ.get("SPARK_GRAFT_BENCH_COPIES", "4"))
+    fixture_turns = int(os.environ.get("SPARK_GRAFT_BENCH_FIXTURE_TURNS", "2400"))
+    paths = _ensure_corpus(spark, sf_dir, copies, fixture_turns)
+    _warm(spark, cpus)
+    rules_df = _bench_rules_df(spark, sf_dir)
+    batches = [
+        int(x)
+        for x in os.environ.get(
+            "SPARK_GRAFT_BENCH_RULE_BATCHES", "128,512,2048"
+        ).split(",")
+    ]
+
+    def run_once(batch: int):
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch)
+        )
+        trans = load_transcripts(spark, paths["docs"])
+        out = run_extraction(join_rules(trans, rules_df), num_partitions=None)
+        t0 = time.perf_counter()
+        n = _force(out)
+        return time.perf_counter() - t0, n
+
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    times = {b: [] for b in batches}
+    n_docs = 0
+    for rep in range(reps):
+        ordered = batches if rep % 2 == 0 else list(reversed(batches))
+        for b in ordered:
+            dt, n_docs = run_once(b)
+            times[b].append(round(dt, 3))
+    queries, rates, turns = {}, {}, {}
+    for b in batches:
+        ts = sorted(times[b])
+        med = ts[len(ts) // 2] if len(ts) % 2 else (
+            (ts[len(ts) // 2 - 1] + ts[len(ts) // 2]) / 2
+        )
+        name = f"rule_batch_{b}"
+        queries[name] = round(med, 3)
+        rates[name] = round(n_docs / med, 1)
+        turns[name] = n_docs
+    _finish(queries, rates, turns, sf_dir, cpus, spark)
+
+
 def _skew_mode(spark, sf_dir: str, cpus: int) -> None:
     """Salt-knob evidence: one conversation holds 50% of turns. Without salt,
     conv_id-hash partitioning serializes half the corpus on one task; with
@@ -182,6 +254,9 @@ def main() -> None:
 
     if os.environ.get("SPARK_GRAFT_BENCH_MODE") == "skew":
         _skew_mode(spark, sf_dir, cpus)
+        return
+    if os.environ.get("SPARK_GRAFT_BENCH_MODE") == "rulebatch":
+        _rulebatch_mode(spark, sf_dir, cpus)
         return
 
     paths = _ensure_corpus(spark, sf_dir, copies, fixture_turns, events_copies)
@@ -244,25 +319,12 @@ def main() -> None:
     # extraction, not the documents-scan that derives the synthetic dimension —
     # in production rules are a tiny cached table, not a per-job derivation.
     if wanted("extract_rule_path"):
-        spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
         # diagnostic knob: SPARK_GRAFT_BENCH_RULE_MODE = half (default) | all
         # | none — none keeps the broadcast join but zero rule hits (isolates
         # join cost); all makes every doc take the 2-parse rule path
         # (isolates the doc-mix/straggler effect)
-        rule_mode = os.environ.get("SPARK_GRAFT_BENCH_RULE_MODE", "half")
-        rules_sql = _BENCH_RULES_SQL
-        if rule_mode == "all":
-            rules_sql = rules_sql.replace(
-                "(pmod(xxhash64(source), 2) = 0) AS enabled", "TRUE AS enabled"
-            )
-        elif rule_mode == "none":
-            rules_sql = rules_sql.replace(
-                "(pmod(xxhash64(source), 2) = 0) AS enabled", "FALSE AS enabled"
-            )
-        rule_rows = spark.sql(rules_sql).collect()
-        rules_df = spark.createDataFrame(
-            rule_rows,
-            "id string, domain string, content string, enabled boolean, use_cloudflare boolean",
+        rules_df = _bench_rules_df(
+            spark, sf_dir, os.environ.get("SPARK_GRAFT_BENCH_RULE_MODE", "half")
         )
         extraction_job(
             "extract_rule_path",
@@ -315,20 +377,28 @@ def main() -> None:
             )
 
         def canonical_thunk():
+            # the verify stage shuffles (pair, shingle-array, shingle-array)
+            # rows — kilobytes each; partition count must scale with the
+            # INTERMEDIATE size, not the input row count (AQE coalesces the
+            # small stages back down)
+            spark.conf.set("spark.sql.shuffle.partitions", str(cpus * 8))
             corpus = _dedup_corpus()
             n_docs = corpus.count()
             t0 = time.perf_counter()
             st: dict = {}
-            comp = dedup_components(_verified_pairs(corpus), stats=st)
-            n = (
-                corpus.select("doc_id")
-                .join(comp, "doc_id", "left")
-                .select(
-                    "doc_id",
-                    F.coalesce("component_id", "doc_id").alias("canonical_id"),
+            try:
+                comp = dedup_components(_verified_pairs(corpus), stats=st)
+                n = (
+                    corpus.select("doc_id")
+                    .join(comp, "doc_id", "left")
+                    .select(
+                        "doc_id",
+                        F.coalesce("component_id", "doc_id").alias("canonical_id"),
+                    )
+                    .count()
                 )
-                .count()
-            )
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
             assert n == n_docs, (n, n_docs)
             component_rounds["propagate"] = st
             return time.perf_counter() - t0, n_docs
@@ -340,9 +410,13 @@ def main() -> None:
             for the diameter-independent algorithm too."""
             st: dict = {}
             t0 = time.perf_counter()
-            dedup_components(
-                _verified_pairs(_dedup_corpus()), mode="star", stats=st
-            ).count()
+            spark.conf.set("spark.sql.shuffle.partitions", str(cpus * 8))
+            try:
+                dedup_components(
+                    _verified_pairs(_dedup_corpus()), mode="star", stats=st
+                ).count()
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
             st["wall_sec"] = round(time.perf_counter() - t0, 3)
             component_rounds["star"] = st
 

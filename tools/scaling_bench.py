@@ -49,6 +49,23 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     return json.loads(line)
 
 
+def run_rulebatch(cpus: int, sf_dir: str) -> dict:
+    """Arrow maxRecordsPerBatch sweep on the rule-path corpus (VERDICT r4
+    item 2) — one Spark session per core count, 3 alternating in-session
+    reps per batch size (bench.py rulebatch mode)."""
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cpus)
+    env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    env["SPARK_GRAFT_BENCH_MODE"] = "rulebatch"
+    env.setdefault("SPARK_GRAFT_BENCH_COPIES", "24")
+    out = subprocess.run(
+        ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
+         os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, env=env, timeout=1800,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def run_skew(cpus: int, sf_dir: str) -> dict:
     """Salt-knob evidence at 4N: hostile layout (one conv = 50% of turns),
     salted vs unsalted on identical bytes."""
@@ -244,8 +261,8 @@ def _paired_runs(n: int, sf_dir: str, trials: int) -> tuple:
 # the multiprocessing control; all-JVM shuffle queries follow the codegen
 # control (they droop harder per core on one socket)
 _JVM_BOUND = {
-    "dedup_minhash_lsh", "events_sessionize", "events_sessionize_bucketed",
-    "events_scan",
+    "dedup_minhash_lsh", "dedup_canonical", "events_sessionize",
+    "events_sessionize_bucketed", "events_scan",
 }
 
 
@@ -263,6 +280,9 @@ def main():
     jvm = jvm_control(n)
     lo, hi, pair_effs = _paired_runs(n, sf_dir, trials)
     skew = run_skew(4 * n, sf_dir)
+    _cooldown()
+    rb_hi = run_rulebatch(4 * n, sf_dir)
+    rb_lo = run_rulebatch(n, sf_dir)
 
     report = {"sf_dir": sf_dir, "n": n, "runs": {f"local[{n}]": lo, f"local[{4*n}]": hi}}
     effs = {}
@@ -277,7 +297,18 @@ def main():
     report["jvm_control"] = jvm
     report["efficiency_normalized_to_hardware"] = norm
     report["skew"] = skew
+    report["rule_batch_sweep"] = {"lo": rb_lo, "hi": rb_hi}
     print(json.dumps(report, indent=2))
+
+    rb_rows = []
+    for name in rb_lo["turns_per_sec"]:
+        eff = round(
+            (rb_hi["turns_per_sec"][name] / rb_lo["turns_per_sec"][name]) / 4, 3
+        )
+        rb_rows.append((name, rb_lo["turns_per_sec"][name],
+                        rb_hi["turns_per_sec"][name], eff))
+    best_tp = max(rb_rows, key=lambda r: r[2])
+    best_eff = max(rb_rows, key=lambda r: r[3])
 
     lines = [
         "# BENCH — two-parallelism scaling evidence",
@@ -366,6 +397,25 @@ def main():
         f"| salt_buckets={16 * n} | {skew['queries']['skew_salted']} | {skew['turns_per_sec']['skew_salted']} |",
         "",
         f"Salting speedup on the skewed corpus: **{round(skew['queries']['skew_salt0'] / skew['queries']['skew_salted'], 2)}×**.",
+        "",
+        "## Rule-path Arrow batch-size sweep (VERDICT r4 item 2)",
+        "",
+        "extract_rule_path's sub-target efficiency was diagnosed as fixed",
+        "per-row Arrow/IPC cost on light docs; the untested lever was",
+        "`spark.sql.execution.arrow.maxRecordsPerBatch`. Sweep on the",
+        "rule-path corpus, one Spark session per core count, 3 alternating",
+        "in-session reps per batch size:",
+        "",
+        "| batch rows | local[{}] (turns/s) | local[{}] (turns/s) | efficiency |".format(n, 4 * n),
+        "|---|---|---|---|",
+    ] + [
+        f"| {name.rsplit('_', 1)[-1]} | {lo_t} | {hi_t} | {eff} |"
+        for name, lo_t, hi_t, eff in rb_rows
+    ] + [
+        "",
+        f"Best 4N throughput: **{best_tp[0].rsplit('_', 1)[-1]} rows/batch**"
+        f" ({best_tp[2]} turns/s); best efficiency: "
+        f"**{best_eff[0].rsplit('_', 1)[-1]} rows/batch** ({best_eff[3]}).",
         "",
         "Raw bench lines:",
         "```json",

@@ -57,6 +57,12 @@ def get_spark(
     # batches would be 150 MB+ per exchange (memory-hostile at 100 TB scale)
     # and serialize JVM↔Python pipelining; small batches overlap the stages
     b = b.config("spark.sql.execution.arrow.maxRecordsPerBatch", "128")
+    # local-mode heap: the default 1g driver JVM OOMs in wide-row shuffles
+    # (e.g. the dedup chain's per-pair shingle arrays at 120k docs); on a
+    # real cluster this is spark.executor.memory via spark-submit instead
+    b = b.config(
+        "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    )
     if shuffle_partitions:
         b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
