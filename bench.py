@@ -482,7 +482,13 @@ def main() -> None:
             dt, n = thunk()
             times[name].append(round(dt, 3))
             counts[name] = n
-    if wanted("dedup_canonical") and "propagate" in component_rounds:
+    # the star-mode rounds probe is once-per-BENCH-round information, not a
+    # headline; scaling_bench skips it in the 6 paired invocations
+    if (
+        wanted("dedup_canonical")
+        and "propagate" in component_rounds
+        and not os.environ.get("SPARK_GRAFT_BENCH_SKIP_STAR")
+    ):
         star_rounds_probe()
 
     queries, rates, turns, rep_detail = {}, {}, {}, {}

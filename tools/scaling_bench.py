@@ -35,6 +35,9 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     # ANN bruteforce stays out: its corpus is fixed-size, so at 4N the run
     # times scheduler overhead, not compute
     env.setdefault("SPARK_GRAFT_BENCH_SKIP_ANN", "1")
+    # star-mode rounds are once-per-round info (driver bench records them);
+    # running the probe in all 6 paired invocations would only add noise
+    env.setdefault("SPARK_GRAFT_BENCH_SKIP_STAR", "1")
     # bench.py now medians over internal reps; the PAIRED protocol here is
     # the repetition mechanism, so one pass per invocation
     env.setdefault("SPARK_GRAFT_BENCH_REPS", "1")
@@ -43,7 +46,7 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
         capture_output=True,
         text=True,
         env=env,
-        timeout=1800,
+        timeout=2700,
     )
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
