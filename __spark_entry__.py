@@ -927,6 +927,42 @@ _ORACLE_SESSIONIZE = """
 """
 
 
+def _q_sessionize_stream(spark, sf_dir):
+    """Structured-Streaming sessionization (session_window + availableNow
+    file source → memory sink), gate-checked against the SAME DuckDB session
+    definition as the batch gate: native streaming semantics are pinned
+    batch-equivalent (boundary alignment in streaming/sessions.py)."""
+    from ukeeper_readability_spark.streaming import run_sessionize_stream_once
+
+    return run_sessionize_stream_once(
+        spark, f"{sf_dir}/events.parquet", gap_minutes=30
+    ).select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        "first_ts_epoch",
+        "last_ts_epoch",
+        "total_value",
+    )
+
+
+_ORACLE_SESSIONIZE_STREAM = """
+    WITH o AS (
+        SELECT user_id, event_id, ts, value,
+               floor(epoch(ts)) - lag(floor(epoch(ts))) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events
+    ),
+    m AS (SELECT *, CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS news FROM o),
+    s AS (SELECT *, sum(news) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq FROM m)
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(floor(min(epoch(ts))) AS BIGINT) AS first_ts_epoch,
+           CAST(floor(max(epoch(ts))) AS BIGINT) AS last_ts_epoch,
+           round(sum(value), 6) AS total_value
+    FROM s GROUP BY user_id, session_seq
+"""
+
+
 def _q_embedding_near_dup(spark, sf_dir):
     from ukeeper_readability_spark.pipeline import embedding_near_duplicates
 
@@ -992,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": _q_embedding_near_dup,
         "text_redact_pii": _q_redact_pii,
         "events_sessionize": _q_sessionize,
+        "events_sessionize_stream": _q_sessionize_stream,
         "extract_preview_rule": _q_preview_rule,
         "extract_rule_attr_selector": _q_rule_attr_selector,
         "extract_sibling_merge": _q_sibling_merge,
@@ -1037,6 +1074,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": _ORACLE_EMBEDDING_NEAR_DUP,
         "text_redact_pii": _oracle_redact_pii(),
         "events_sessionize": _ORACLE_SESSIONIZE,
+        "events_sessionize_stream": _ORACLE_SESSIONIZE_STREAM,
         "extract_preview_rule": _ORACLE_PREVIEW_RULE,
         "extract_rule_attr_selector": _oracle_rule_attr_selector(),
         "extract_sibling_merge": _oracle_sibling_merge(),

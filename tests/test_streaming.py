@@ -1,0 +1,120 @@
+"""Structured-Streaming surfaces: session_window sessionization and the
+checkpointed extraction ingest (ukeeper_readability_spark/streaming/)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from ukeeper_readability_spark.pipeline.sessions import sessionize
+from ukeeper_readability_spark.streaming import (
+    run_extraction_stream,
+    run_sessionize_stream_once,
+    sessionize_stream,
+)
+
+pytestmark = pytest.mark.spark
+
+
+def _batch_aggregates(events, gap_minutes=30):
+    """Batch sessionize folded to the streaming output shape (no seq)."""
+    return sessionize(events, gap_minutes=gap_minutes).select(
+        "user_id", "n_events", "first_ts_epoch", "last_ts_epoch", "total_value"
+    )
+
+
+def _ev_rows(rows):
+    return [
+        (i, datetime.datetime(2026, 3, 1) + datetime.timedelta(seconds=s), u, "c", v)
+        for i, (u, s, v) in enumerate(rows)
+    ]
+
+
+def test_session_window_matches_batch_semantics_incl_boundary(spark):
+    """Boundary alignment (streaming/sessions.py): events EXACTLY
+    gap-seconds apart share a session in the batch operator (split on
+    gap > g, strict); session_window merges inclusively at the boundary so
+    the same g agrees — and one second past the boundary splits."""
+    g = 30 * 60
+    rows = _ev_rows(
+        [
+            (1, 0, 1.0), (1, g, 2.0),          # exactly g apart: SAME session
+            (1, 2 * g + 1, 4.0),               # g+1 after: NEW session
+            (2, 0, 1.5), (2, 10, 2.5), (2, 10, 3.5),  # duplicate ts merge
+            (3, 0, 7.0),                       # singleton
+        ]
+    )
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = sorted(map(tuple, sessionize_stream(ev).collect()))
+    want = sorted(map(tuple, _batch_aggregates(ev).collect()))
+    assert got == want
+    by_user = {}
+    for u, n, *_ in got:
+        by_user[u] = by_user.get(u, 0) + 1
+    assert by_user == {1: 2, 2: 1, 3: 1}
+
+
+def test_sessionize_stream_runs_as_a_real_stream(spark, tmp_path):
+    """availableNow file-source run → memory sink equals the batch operator
+    on the same parquet bytes."""
+    rows = _ev_rows(
+        [(u, (i % 7) * 1000 + u, float(i)) for i, u in enumerate([1, 2, 3] * 30)]
+    )
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    path = str(tmp_path / "ev_stream")
+    ev.write.parquet(path)
+    got = sorted(map(tuple, run_sessionize_stream_once(spark, path).collect()))
+    want = sorted(
+        map(tuple, _batch_aggregates(spark.read.parquet(path)).collect())
+    )
+    assert got == want and len(got) > 0
+
+
+def _transcripts(spark, n, start=0):
+    from ukeeper_readability_spark.data.synth import fixture_transcripts_distributed
+
+    t = fixture_transcripts_distributed(spark, n, partitions=2)
+    if start:
+        t = t.withColumn("turn_idx", (F.col("turn_idx") + F.lit(start)).cast("int"))
+    return t
+
+
+def test_extraction_stream_matches_batch_and_resumes(spark, tmp_path):
+    """Streaming ingest produces byte-identical extractions to the batch
+    job, and a checkpointed restart processes ONLY newly-arrived files (the
+    S11 manifest-resume analogue)."""
+    from ukeeper_readability_spark.jobs.extract_job import (
+        join_rules,
+        load_transcripts,
+        run_extraction,
+    )
+
+    inp = str(tmp_path / "in")
+    outp = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _transcripts(spark, 6).write.mode("append").parquet(inp)
+
+    q = run_extraction_stream(spark, inp, outp, ckpt)
+    q.awaitTermination()
+    got1 = spark.read.parquet(outp).select("conv_id", "turn_idx", "content")
+    want = run_extraction(
+        join_rules(load_transcripts(spark, inp), None)
+    ).select("conv_id", "turn_idx", "content")
+    assert sorted(map(tuple, got1.collect())) == sorted(map(tuple, want.collect()))
+
+    # new files arrive; restart with the SAME checkpoint
+    _transcripts(spark, 4, start=1000).write.mode("append").parquet(inp)
+    q2 = run_extraction_stream(spark, inp, outp, ckpt)
+    q2.awaitTermination()
+    out2 = spark.read.parquet(outp).select("conv_id", "turn_idx", "content")
+    want2 = run_extraction(
+        join_rules(load_transcripts(spark, inp), None)
+    ).select("conv_id", "turn_idx", "content")
+    # exactly-once: the union of both rounds, nothing duplicated
+    assert sorted(map(tuple, out2.collect())) == sorted(map(tuple, want2.collect()))
+    # the second run consumed only the new files: row counts prove no replay
+    assert out2.count() == want.count() + 4
