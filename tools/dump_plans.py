@@ -134,6 +134,23 @@ def main():
         ))
         spark.sql("DROP TABLE IF EXISTS plans_ev_bkt")
 
+    # round-5: the Structured-Streaming re-expression — Spark's native
+    # session_window stateful operator (shown here in its batch form: the
+    # streaming plan replaces the final HashAggregate pair with
+    # SessionWindowStateStore save/restore around the same UpdatingSession +
+    # MergingSession expressions, one exchange on user_id either way)
+    from ukeeper_readability_spark.streaming.sessions import sessionize_stream
+
+    sections.append((
+        "Streaming sessionization (session_window, batch-form plan): "
+        "UpdatingSessionsExec assigns per-row session candidates, the single "
+        "user_id exchange co-locates them, MergingSessionsExec folds "
+        "overlapping candidates — under a stream the same operators run "
+        "between session-window state-store restore/save, so state is keyed "
+        "exactly like the shuffle",
+        explain(sessionize_stream(ev, gap_minutes=30)),
+    ))
+
     out = [
         "# PLANS — physical plans of the production pipeline",
         "",
