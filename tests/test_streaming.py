@@ -118,3 +118,61 @@ def test_extraction_stream_matches_batch_and_resumes(spark, tmp_path):
     assert sorted(map(tuple, out2.collect())) == sorted(map(tuple, want2.collect()))
     # the second run consumed only the new files: row counts prove no replay
     assert out2.count() == want.count() + 4
+
+
+def test_first_seen_dedup_stateful_across_restarts(spark, tmp_path):
+    """applyInPandasWithState first-seen dedup: within-batch duplicates
+    collapse to the deterministic first row, and state persisted in the
+    checkpoint suppresses keys RE-SENT after a query restart."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from ukeeper_readability_spark.streaming.dedup import first_seen_dedup_stream
+
+    schema = "doc_hash string, doc_id long, text string"
+    out_schema = StructType(
+        [
+            StructField("doc_hash", StringType()),
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+    inp = str(tmp_path / "in")
+    outp = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+        stream = spark.readStream.schema(
+            spark.read.parquet(inp).schema
+        ).parquet(inp)
+        q = (
+            first_seen_dedup_stream(
+                stream, "doc_hash", ("doc_id",), out_schema
+            )
+            .writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.doc_hash, r.doc_id)
+            for r in spark.read.parquet(outp).collect()
+        }
+
+    # batch 1: h1 duplicated (ids 7 and 3 -> first is 3), h2 once
+    got1 = run_once(
+        [("h1", 7, "a"), ("h1", 3, "a"), ("h2", 1, "b")]
+    )
+    assert got1 == {("h1", 3), ("h2", 1)}
+    # restart: h1/h2 re-sent (suppressed by restored state), h3 new
+    got2 = run_once(
+        [("h1", 1, "a"), ("h2", 9, "b"), ("h3", 5, "c")]
+    )
+    assert got2 == {("h1", 3), ("h2", 1), ("h3", 5)}
