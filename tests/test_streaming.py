@@ -176,3 +176,54 @@ def test_first_seen_dedup_stateful_across_restarts(spark, tmp_path):
         [("h1", 1, "a"), ("h2", 9, "b"), ("h3", 5, "c")]
     )
     assert got2 == {("h1", 3), ("h2", 1), ("h3", 5)}
+
+
+def test_sessionize_stream_append_watermark_drops_late_events(spark, tmp_path):
+    """The production form for unbounded streams (streaming/sessions.py):
+    append output + withWatermark. A session is emitted once the watermark
+    passes its close; an event arriving AFTER the watermark moved beyond its
+    session is dropped instead of mutating emitted results — the documented
+    late-data trade."""
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    inp = str(tmp_path / "in")
+    outp = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(rows):
+        spark.createDataFrame(_ev_rows(rows), schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+        from ukeeper_readability_spark.streaming import sessionize_stream
+
+        stream = spark.readStream.schema(
+            spark.read.parquet(inp).schema
+        ).parquet(inp)
+        q = (
+            sessionize_stream(
+                stream, gap_minutes=30, watermark_delay="10 minutes"
+            )
+            .writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r.user_id, r.n_events, r.first_ts_epoch)
+            for r in spark.read.parquet(outp).collect()
+        )
+
+    day = 86400
+    # batch 1: user 1 session at t=[0, 60]; a far-future event advances the
+    # watermark way past that session's close + gap + delay
+    got1 = run([(1, 0, 1.0), (1, 60, 2.0), (9, 5 * day, 1.0)])
+    # the old session is finalized and emitted; the future session is still
+    # held open (watermark has not passed ITS close yet)
+    assert [(u, n) for u, n, _ in got1] == [(1, 2)]
+    # batch 2 (same checkpoint): a LATE event for user 1 inside the already-
+    # finalized session window — beyond the watermark, must be dropped, the
+    # emitted session must NOT change or duplicate
+    got2 = run([(1, 30, 100.0)])
+    assert [(u, n) for u, n, _ in got2] == [(1, 2)]

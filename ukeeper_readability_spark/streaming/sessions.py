@@ -55,9 +55,16 @@ def sessionize_stream(
     # same g as batch: session_window merges inclusively at the boundary
     # (gap == g extends the session), matching batch's strict gap > g split
     gap = f"{gap_minutes * 60} seconds"
-    ep = F.col(ts_col).cast("timestamp")
     if watermark_delay is not None:
-        events = events.withWatermark(ts_col, watermark_delay)
+        # the watermark must attach to the very attribute session_window
+        # groups on — a cast EXPRESSION over a watermarked column loses the
+        # event-time tag and append mode rejects the aggregation
+        events = events.withColumn(
+            ts_col, F.col(ts_col).cast("timestamp")
+        ).withWatermark(ts_col, watermark_delay)
+        ep = F.col(ts_col)
+    else:
+        ep = F.col(ts_col).cast("timestamp")
     return (
         events.groupBy(
             F.col(user_col), F.session_window(ep, gap).alias("_w")
