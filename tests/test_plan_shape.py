@@ -252,6 +252,32 @@ def test_sessionize_bucketed_reregistration(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS t_ev_rereg")
 
 
+def test_sessionize_stream_batch_plan_shape(spark):
+    """session_window sessionization (streaming/sessions.py) plans exactly
+    ONE exchange on user_id with MergingSessions folding candidates after
+    the shuffle — the same single-shuffle budget as the batch operator; in
+    a stream the identical operators run around the session state store."""
+    import datetime
+
+    from ukeeper_readability_spark.streaming import sessionize_stream
+
+    rows = [
+        (i, datetime.datetime(2026, 1, 1, 0, i % 60), i % 5, "c", float(i))
+        for i in range(40)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = sessionize_stream(ev, gap_minutes=30)
+    plan = _plan(out)
+    assert "MergingSessions" in plan, plan
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(exchanges) == 1 and "user_id" in exchanges[0], plan
+    assert out.count() > 0
+
+
 def test_sessionize_bucketed_marker_guards(spark, tmp_path):
     """ADVICE r4: re-registration must VERIFY the persisted bucket spec —
     registering DDL over files written with a different nbuckets/sort (or an
