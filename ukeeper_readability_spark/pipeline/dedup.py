@@ -332,11 +332,19 @@ def dedup_components(
         )
         converged = False
         rounds = 0
+        # DELTA ITERATION (round 5): labels are monotone non-increasing, so a
+        # node's label can only drop when a NEIGHBOR'S label dropped — each
+        # round joins edges against the FRONTIER (nodes changed last round),
+        # not the full label table. Round 1's frontier is everyone
+        # (equivalent to the full recompute); on LSH clique graphs the
+        # frontier collapses after a round or two and late rounds shuffle
+        # almost nothing instead of re-sending every edge's message.
+        frontier = labels
         for _ in range(max_iters):
             rounds += 1
-            nb = (
+            msgs = (
                 sym.join(
-                    labels.select(
+                    frontier.select(
                         F.col("node").alias("v"), F.col("label").alias("vlab")
                     ),
                     "v",
@@ -346,7 +354,7 @@ def dedup_components(
                 .withColumnRenamed("u", "node")
             )
             stepped = (
-                labels.join(nb, "node", "left")
+                labels.join(msgs, "node", "left")
                 .select(
                     "node",
                     F.least(F.col("label"), F.coalesce("nb_min", "label")).alias(
@@ -357,7 +365,10 @@ def dedup_components(
                 .localCheckpoint(eager=True)
             )
             labels = stepped.select("node", F.col("new_label").alias("label"))
-            if stepped.filter("_chg").limit(1).count() == 0:
+            frontier = stepped.filter("_chg").select(
+                "node", F.col("new_label").alias("label")
+            )
+            if frontier.limit(1).count() == 0:
                 converged = True
                 break
         stats.update(mode="propagate", rounds=rounds, converged=converged)
