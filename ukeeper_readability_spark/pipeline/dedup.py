@@ -45,12 +45,24 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", key_col: str = "do
 def _shingle_array(text_col: str, n: int):
     """Distinct word n-gram shingles of a doc as an ARRAY expression —
     deduplication happens inside the row (array_distinct), never via a
-    relational distinct, so no shuffle is ever needed to build shingles."""
-    toks = F.split(F.trim(F.col(text_col)), " +")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    )
+    relational distinct, so no shuffle is ever needed to build shingles.
+
+    The token array is LET-BOUND through a one-element-array transform so the
+    inner lambda sees it as a lambda VARIABLE: higher-order functions are
+    interpreted (CodegenFallback, no subexpression elimination), so a lambda
+    body that captures the raw split() expression re-evaluates the split for
+    EVERY array element — O(tokens²) per document, measured 7× slower on the
+    bench corpus (3.7 s → 0.5 s noop at 20k docs, r06). Values are identical.
+    """
+    toks_raw = F.split(F.trim(F.col(text_col)), " +")
+
+    def _body(toks):
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+        )
+
+    return F.element_at(F.transform(F.array(toks_raw), _body), 1)
 
 
 def _shingles(docs: DataFrame, text_col: str, key_col: str, n: int) -> DataFrame:

@@ -41,18 +41,25 @@ def _tokens(text_col):
 def token_counts(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
     """Whitespace token count + BPE-ish subword count (regex split on
     non-alnum boundaries and 4-char chunks — a cheap proxy for BPE length)."""
-    toks = _tokens(F.col(text_col))
+    # token array bound once per row (multi-referenced non-cheap alias stays
+    # un-inlined): higher-order functions are interpreted, so every extra
+    # reference would re-run the split
+    staged = docs.select(
+        F.col(key_col).alias("doc_id"),
+        F.length(F.col(text_col)).cast("long").alias("_nchars"),
+        _tokens(F.col(text_col)).alias("_toks"),
+    )
     # BPE-ish: every token contributes ceil(len/4) subword units
     subwords = F.aggregate(
-        toks,
+        F.col("_toks"),
         F.lit(0).cast("long"),
         lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("long"),
     )
-    return docs.select(
-        F.col(key_col).alias("doc_id"),
-        F.size(toks).cast("long").alias("n_tokens"),
+    return staged.select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_tokens"),
         subwords.alias("n_subwords"),
-        F.length(F.col(text_col)).cast("long").alias("n_chars_measured"),
+        F.col("_nchars").alias("n_chars_measured"),
     )
 
 
@@ -64,11 +71,26 @@ def language_id(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id"
     or tied between the top two): argmax by signature character-trigram
     occurrences over the lowercased text. Emits which stage decided.
     """
-    toks = _tokens(F.col(text_col))
-    s = F.lower(F.trim(F.col(text_col)))
-    tri_idx = F.sequence(F.lit(1), F.greatest(F.length(s) - 2, F.lit(1)))
-    tris = F.transform(tri_idx, lambda i: s.substr(i, F.lit(3)))
+    # Staged projections (r06): higher-order functions are interpreted with
+    # no subexpression elimination, so the old single-select form re-built
+    # the trigram array per filter (7×) and re-ran lower(trim(text)) for
+    # EVERY substr inside it — O(len²) per document. Each expensive value is
+    # now computed once per row as a multi-referenced (hence un-collapsed)
+    # alias; values are identical.
+    s_raw = F.lower(F.trim(F.col(text_col)))
 
+    def _make_tris(s):
+        tri_idx = F.sequence(F.lit(1), F.greatest(F.length(s) - 2, F.lit(1)))
+        return F.transform(tri_idx, lambda i: s.substr(i, F.lit(3)))
+
+    tris_bound = F.element_at(F.transform(F.array(s_raw), _make_tris), 1)
+    staged = docs.select(
+        F.col(key_col).alias("doc_id"),
+        _tokens(F.col(text_col)).alias("_toks"),
+        tris_bound.alias("_tris"),
+    )
+
+    toks, tris = F.col("_toks"), F.col("_tris")
     sw_scores, tri_scores = [], []
     for lang, words in sorted(STOPWORDS.items()):
         arr = F.array(*[F.lit(w) for w in words])
@@ -83,13 +105,17 @@ def language_id(docs: DataFrame, text_col: str = "text", key_col: str = "doc_id"
         tri_scores.append(
             F.struct((-thits).alias("neg_hits"), F.lit(lang).alias("lang"), thits.alias("hits"))
         )
-    sw_sorted = F.array_sort(F.array(*sw_scores))
-    best = F.element_at(sw_sorted, F.lit(1))
-    second = F.element_at(sw_sorted, F.lit(2))
-    tri_best = F.element_at(F.array_sort(F.array(*tri_scores)), F.lit(1))
+    scored = staged.select(
+        "doc_id",
+        F.array_sort(F.array(*sw_scores)).alias("_sw"),
+        F.element_at(F.array_sort(F.array(*tri_scores)), F.lit(1)).alias("_tri"),
+    )
+    best = F.element_at(F.col("_sw"), F.lit(1))
+    second = F.element_at(F.col("_sw"), F.lit(2))
+    tri_best = F.col("_tri")
     ambiguous = (best["hits"] == 0) | (best["hits"] == second["hits"])
-    return docs.select(
-        F.col(key_col).alias("doc_id"),
+    return scored.select(
+        "doc_id",
         F.when(ambiguous, tri_best["lang"]).otherwise(best["lang"]).alias("detected_lang"),
         best["hits"].alias("stopword_hits"),
         F.when(ambiguous, tri_best["hits"]).otherwise(F.lit(0)).alias("trigram_hits"),
@@ -102,15 +128,23 @@ def quality_score(docs: DataFrame, text_col: str = "text", key_col: str = "doc_i
     length, punctuation ratio, stopword ratio, repetition (distinct/total
     token ratio). All ratios rounded to 6 dp for determinism."""
     t = F.col(text_col)
-    toks = _tokens(t)
+    # token array bound once per row (see language_id): the old form re-split
+    # the text for each of the four token-derived features
+    staged = docs.select(
+        F.col(key_col).alias("doc_id"),
+        t.alias("_t"),
+        _tokens(t).alias("_toks"),
+    )
+    t = F.col("_t")
+    toks = F.col("_toks")
     n_tok = F.size(toks)
     n_chars = F.length(t)
     punct = F.length(F.regexp_replace(t, "[^.,;:!?]", ""))
     en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     stop_hits = F.size(F.filter(toks, lambda x: F.array_contains(en, x)))
     distinct_ratio = F.size(F.array_distinct(toks)) / F.greatest(n_tok, F.lit(1))
-    return docs.select(
-        F.col(key_col).alias("doc_id"),
+    return staged.select(
+        F.col("doc_id"),
         n_chars.cast("long").alias("n_chars_measured"),
         n_tok.cast("long").alias("n_tokens"),
         F.round(n_chars / F.greatest(n_tok, F.lit(1)), 6).alias("mean_word_len"),
@@ -154,8 +188,17 @@ def fingerprint(
     """Document fingerprint: lexicographic-min md5 over word n-gram shingles
     (a winnowing-style content fingerprint, stable under whitespace changes
     and portable to the DuckDB oracle)."""
-    toks = _tokens(F.col(text_col))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_n, F.lit(0)))
-    shingles = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, shingle_n), " "))
-    fp = F.array_min(F.transform(shingles, F.md5))
+    # let-bind the token array (see dedup._shingle_array): higher-order
+    # functions are interpreted, so a lambda capturing the raw split()
+    # re-evaluates it per element — O(tokens²) per document
+    toks_raw = _tokens(F.col(text_col))
+
+    def _fp(toks):
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - shingle_n, F.lit(0)))
+        shingles = F.transform(
+            idx, lambda i: F.array_join(F.slice(toks, i + 1, shingle_n), " ")
+        )
+        return F.array_min(F.transform(shingles, F.md5))
+
+    fp = F.element_at(F.transform(F.array(toks_raw), _fp), 1)
     return docs.select(F.col(key_col).alias("doc_id"), fp.alias("fingerprint"))
