@@ -351,6 +351,14 @@ def dedup_components(
         # (equivalent to the full recompute); on LSH clique graphs the
         # frontier collapses after a round or two and late rounds shuffle
         # almost nothing instead of re-sending every edge's message.
+        #
+        # ONE action per round (r06): the checkpoint is LAZY and the
+        # convergence probe is a count over the changed-flag column of the
+        # same DataFrame, so the counting job is ALSO the job that
+        # materializes the checkpoint (local checkpointing is cache-based —
+        # the first action through the marked RDD persists it). The round-5
+        # shape paid two jobs per round: an eager-checkpoint materialization
+        # plus a separate limit(1) existence probe.
         frontier = labels
         for _ in range(max_iters):
             rounds += 1
@@ -374,13 +382,14 @@ def dedup_components(
                     ),
                     (F.coalesce("nb_min", "label") < F.col("label")).alias("_chg"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
+            n_changed = stepped.filter("_chg").count()
             labels = stepped.select("node", F.col("new_label").alias("label"))
             frontier = stepped.filter("_chg").select(
                 "node", F.col("new_label").alias("label")
             )
-            if frontier.limit(1).count() == 0:
+            if n_changed == 0:
                 converged = True
                 break
         stats.update(mode="propagate", rounds=rounds, converged=converged)
@@ -432,16 +441,22 @@ def _components_star(
     stars) are re-attached from the original node set at the end.
     """
     with _constraint_propagation_off(pairs):
+        # materialize the pair input ONCE — nodes and e both derive from it,
+        # and each eager checkpoint used to recompute the full upstream
+        # candidate/verify chain independently (r06)
+        pairs0 = pairs.select(
+            F.col(key_a).alias("a"), F.col(key_b).alias("b")
+        ).localCheckpoint(eager=True)
         nodes = (
-            pairs.select(F.col(key_a).alias("n"))
-            .union(pairs.select(F.col(key_b).alias("n")))
+            pairs0.select(F.col("a").alias("n"))
+            .union(pairs0.select(F.col("b").alias("n")))
             .distinct()
             .localCheckpoint(eager=True)
         )
         e = (
-            pairs.select(
-                F.greatest(F.col(key_a), F.col(key_b)).alias("u"),
-                F.least(F.col(key_a), F.col(key_b)).alias("v"),
+            pairs0.select(
+                F.greatest(F.col("a"), F.col("b")).alias("u"),
+                F.least(F.col("a"), F.col("b")).alias("v"),
             )
             .filter(F.col("u") != F.col("v"))
             .distinct()
@@ -467,13 +482,18 @@ def _components_star(
                 .agg(F.min("v").alias("mv"))
                 .select("u", F.least("u", "mv").alias("m"))
             )
+            # LAZY checkpoints (r06): the round's single materializing action
+            # is the fingerprint collect below — it persists both the
+            # large-star and small-star RDDs in one job (local checkpointing
+            # is cache-based), where the round-5 shape paid three jobs per
+            # round (two eager materializations + the fingerprint)
             e = (
                 sym.join(mins, "u")
                 .filter(F.col("v") > F.col("u"))
                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
                 .filter(F.col("u") != F.col("v"))
                 .distinct()
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             # ---- small-star over the smaller-neighbor lists (u > v already) ----
             mins = (
@@ -491,7 +511,7 @@ def _components_star(
                 )
                 .filter(F.col("u") != F.col("v"))
                 .distinct()
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             new_fp = fingerprint(e)
             if new_fp == fp:
