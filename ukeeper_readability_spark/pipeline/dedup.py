@@ -198,7 +198,21 @@ def ngram_jaccard(
     pair joins are deliberately UNHINTED (VERDICT r2 item 3): the candidate
     set can be billions of ids at 100 TB, so a forced broadcast would OOM
     the driver — AQE picks broadcast vs shuffle from runtime sizes.
+
+    The pair input is SNAPSHOT once with a lazy localCheckpoint (r06): it is
+    referenced three times in this query (the pair join and both branches of
+    the candidate-doc prune), and because column pruning specializes each
+    occurrence, ReuseExchange cannot dedup them — the physical plan
+    replicated the entire upstream LSH candidate pipeline per occurrence
+    (measured: 14 parquet scans / 32 exchanges / 5 posexplodes in the
+    verify plan at 20k docs; 4 scans / 12 exchanges / 0 after — the LSH
+    pipeline now runs exactly once, inside the checkpoint materialization).
+    The checkpoint is sized by the candidate-pair count — the same bound
+    dedup_components already materializes. On a real cluster point
+    spark.checkpoint.dir at durable storage and use checkpoint() for fault
+    tolerance of long chains.
     """
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint(eager=False)
     cand = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
@@ -333,9 +347,13 @@ def dedup_components(
     if on_exhaustion not in ("star", "raise", "partial"):
         raise ValueError(f"on_exhaustion: {on_exhaustion!r}")
     with _constraint_propagation_off(pairs):
-        sym = pairs.select(F.col(key_a).alias("u"), F.col(key_b).alias("v"))
-        sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        sym = sym.localCheckpoint(eager=True)
+        # materialize the directed edge list ONCE, then symmetrize from the
+        # cached copy (r06): the former union-of-two-selects shape computed
+        # the full upstream candidate/verify chain once per union branch
+        p0 = pairs.select(
+            F.col(key_a).alias("u"), F.col(key_b).alias("v")
+        ).localCheckpoint(eager=True)
+        sym = p0.union(p0.select(F.col("v").alias("u"), F.col("u").alias("v")))
         labels = (
             sym.select(F.col("u").alias("node"))
             .distinct()
