@@ -107,7 +107,7 @@ def decompose() -> None:
 
     sc.setJobDescription("decompose: components")
     t0 = time.perf_counter()
-    st: dict = {}
+    st: dict = {"round_sec": []}
     comp = dedup_components(verified, stats=st)
     out["components_n"] = comp.count()
     out["components_sec"] = round(time.perf_counter() - t0, 3)

@@ -17,6 +17,7 @@ groups. Skewed buckets (boilerplate-identical shingles) are capped by
 
 from __future__ import annotations
 
+import time
 import warnings
 from contextlib import contextmanager
 
@@ -282,7 +283,14 @@ def _constraint_propagation_off(df: DataFrame):
     only adds inferred filters these loops don't need, so scope it OFF for
     the iteration and restore the caller's setting after. Every DataFrame the
     loop returns is materialized (localCheckpoint) inside the scope, so no
-    un-analyzed Union escapes it."""
+    un-analyzed Union escapes it.
+
+    Single-threaded assumption (ADVICE r5): the toggle is session-global, so
+    a query PLANNED concurrently on the same SparkSession (another driver
+    thread, a streaming micro-batch) inside this scope would also lose
+    constraint propagation for that window — harmless to correctness (the
+    setting only adds inferred filters) but a potential plan regression.
+    The engine's drivers are single-threaded; revisit if that changes."""
     spark = df.sparkSession
     key = "spark.sql.constraintPropagation.enabled"
     try:
@@ -338,7 +346,10 @@ def dedup_components(
 
     Pass `stats={}` to receive rounds-to-convergence instrumentation:
     {"mode", "rounds", "converged"} — the numbers BENCH.md reports for the
-    iterative stage of the dedup chain.
+    iterative stage of the dedup chain. Seed the dict with {"round_sec": []}
+    to ALSO receive wall seconds per round (r06; opt-in so the frozen
+    bench.py's single JSON line — which dumps this dict verbatim — does not
+    grow past the driver's bounded tail capture, the r5 parsed-null failure).
     """
     if stats is None:
         stats = {}
@@ -378,8 +389,10 @@ def dedup_components(
         # shape paid two jobs per round: an eager-checkpoint materialization
         # plus a separate limit(1) existence probe.
         frontier = labels
+        round_sec: list = []
         for _ in range(max_iters):
             rounds += 1
+            _t0 = time.perf_counter()
             msgs = (
                 sym.join(
                     frontier.select(
@@ -403,6 +416,7 @@ def dedup_components(
                 .localCheckpoint(eager=False)
             )
             n_changed = stepped.filter("_chg").count()
+            round_sec.append(round(time.perf_counter() - _t0, 3))
             labels = stepped.select("node", F.col("new_label").alias("label"))
             frontier = stepped.filter("_chg").select(
                 "node", F.col("new_label").alias("label")
@@ -410,6 +424,8 @@ def dedup_components(
             if n_changed == 0:
                 converged = True
                 break
+        if "round_sec" in stats:
+            stats["round_sec"] = round_sec
         stats.update(mode="propagate", rounds=rounds, converged=converged)
         if not converged:
             msg = (

@@ -159,8 +159,19 @@ def ensure_events_bucketed(
             """
         )
     out = spark.table(table)
-    # parquet metadata-only count: cheap even at scale
-    n = out.count()
+    # Sizing check from parquet FOOTER row counts (ADVICE r5): Spark has no
+    # metadata-only count for parquet through this v1 table path — out.count()
+    # was a zero-column scan job that listed and opened every bucket file on
+    # EVERY re-registration, an O(files) cost at the 10^12-row target. The
+    # footers already hold num_rows; sum them directly (local/posix paths —
+    # on an object store, persist the row count in the _bucket_spec marker
+    # at write time instead).
+    import pyarrow.parquet as _pq
+
+    n = 0
+    for fn in os.listdir(path):
+        if fn.startswith("part-") and fn.endswith(".parquet"):
+            n += _pq.ParquetFile(os.path.join(path, fn)).metadata.num_rows
     if n and n / nbuckets < MIN_AVG_ROWS_PER_BUCKET:
         warnings.warn(
             f"events_bucketed: {n} rows across {nbuckets} buckets averages "

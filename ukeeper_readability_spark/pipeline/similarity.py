@@ -50,10 +50,20 @@ def cosine_topk_bruteforce(
 
     Output: (query_id, neighbor_id, cosine, rank).
     """
+    # norms are computed ONCE PER ROW on each side before the join (r06):
+    # higher-order aggregates are interpreted, and the old per-pair shape
+    # re-folded both norms for every (query, neighbor) pair — O(Q·N) norm
+    # evaluations instead of O(Q + N). Same doubles, same rounded values.
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("_qn"),
     )
-    e = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec"))
+    e = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        _norm(F.col(vec_col)).alias("_nn"),
+    )
     scored = (
         e.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -61,8 +71,7 @@ def cosine_topk_bruteforce(
             "query_id",
             "neighbor_id",
             F.round(
-                _dot(F.col("qvec"), F.col("nvec"))
-                / (_norm(F.col("qvec")) * _norm(F.col("nvec"))),
+                _dot(F.col("qvec"), F.col("nvec")) / (F.col("_qn") * F.col("_nn")),
                 6,
             ).alias("cosine"),
         )
@@ -102,14 +111,19 @@ def embedding_near_duplicates(
     sized = embeddings.withColumn(
         "_bsize", F.count(F.lit(1)).over(Window.partitionBy(bucket_col))
     ).filter(F.col("_bsize") <= max_bucket)
+    # per-row norms before the self-join (r06): the within-bucket pair space
+    # is O(b²) while rows are O(b) — folding the norm per pair was the
+    # dominant interpreted-expression cost at scale. Same doubles.
     a = sized.select(
         F.col(id_col).alias("doc_a"),
         F.col(vec_col).alias("avec"),
+        _norm(F.col(vec_col)).alias("_an"),
         F.col(bucket_col).alias("bucket"),
     )
     b = sized.select(
         F.col(id_col).alias("doc_b"),
         F.col(vec_col).alias("bvec"),
+        _norm(F.col(vec_col)).alias("_bn"),
         F.col(bucket_col).alias("bucket"),
     )
     return (
@@ -119,8 +133,7 @@ def embedding_near_duplicates(
             "doc_a",
             "doc_b",
             F.round(
-                _dot(F.col("avec"), F.col("bvec"))
-                / (_norm(F.col("avec")) * _norm(F.col("bvec"))),
+                _dot(F.col("avec"), F.col("bvec")) / (F.col("_an") * F.col("_bn")),
                 6,
             ).alias("cosine"),
         )
@@ -158,14 +171,17 @@ def cosine_topk_bucketed(
     a k-means assignment or LSH bucket). One shuffle on the bucket key; each
     task scans a single bucket — the 100 TB path.
     """
+    # per-row norms before the join (r06) — see cosine_topk_bruteforce
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        _norm(F.col(vec_col)).alias("_qn"),
         F.col(bucket_col).alias("bucket"),
     )
     e = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("nvec"),
+        _norm(F.col(vec_col)).alias("_nn"),
         F.col(bucket_col).alias("bucket"),
     )
     scored = (
@@ -175,8 +191,7 @@ def cosine_topk_bucketed(
             "query_id",
             "neighbor_id",
             F.round(
-                _dot(F.col("qvec"), F.col("nvec"))
-                / (_norm(F.col("qvec")) * _norm(F.col("nvec"))),
+                _dot(F.col("qvec"), F.col("nvec")) / (F.col("_qn") * F.col("_nn")),
                 6,
             ).alias("cosine"),
         )
@@ -296,14 +311,23 @@ def cosine_topk_ivf_lsh(
     """IVF ANN with an in-engine LSH coarse quantizer: bucket assignment is
     computed (not assumed), queries probe `n_probes` buckets, candidates are
     scanned within-bucket only. One shuffle on the bucket key."""
+    # per-row norms before the join (r06) — see cosine_topk_bruteforce
     e = with_hyperplane_bucket(
-        embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")),
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("nvec"),
+            _norm(F.col(vec_col)).alias("_nn"),
+        ),
         "nvec", n_planes, dim, "bucket",
     )
     q = hyperplane_probe_buckets(
-        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            _norm(F.col(vec_col)).alias("_qn"),
+        ),
         "qvec", n_planes, dim, n_probes, "probe_buckets",
-    ).select("query_id", "qvec", F.explode("probe_buckets").alias("bucket"))
+    ).select("query_id", "qvec", "_qn", F.explode("probe_buckets").alias("bucket"))
     scored = (
         e.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -311,8 +335,7 @@ def cosine_topk_ivf_lsh(
             "query_id",
             "neighbor_id",
             F.round(
-                _dot(F.col("qvec"), F.col("nvec"))
-                / (_norm(F.col("qvec")) * _norm(F.col("nvec"))),
+                _dot(F.col("qvec"), F.col("nvec")) / (F.col("_qn") * F.col("_nn")),
                 6,
             ).alias("cosine"),
         )
@@ -474,17 +497,24 @@ def cosine_topk_ivf_kmeans(
     nearest centroid cells (mirroring the LSH path's multi-probe) — the
     standard recall lever when clusters overlap; candidates still bounded to
     the probed cells, same one-shuffle join shape."""
+    # per-row norms before the join (r06) — see cosine_topk_bruteforce
     e = with_kmeans_bucket(
-        embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")),
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("nvec"),
+            _norm(F.col(vec_col)).alias("_nn"),
+        ),
         centroids, "nvec", "bucket",
     )
     dbl = F.transform(F.col("qvec"), lambda x: x.cast("double"))
     q = probe_centroids(
         queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            _norm(F.col(vec_col)).alias("_qn"),
         ).withColumn("_v", dbl),
         centroids, "_v", n_probes, "probe_buckets",
-    ).select("query_id", "qvec", F.explode("probe_buckets").alias("bucket"))
+    ).select("query_id", "qvec", "_qn", F.explode("probe_buckets").alias("bucket"))
     scored = (
         e.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -492,8 +522,7 @@ def cosine_topk_ivf_kmeans(
             "query_id",
             "neighbor_id",
             F.round(
-                _dot(F.col("qvec"), F.col("nvec"))
-                / (_norm(F.col("qvec")) * _norm(F.col("nvec"))),
+                _dot(F.col("qvec"), F.col("nvec")) / (F.col("_qn") * F.col("_nn")),
                 6,
             ).alias("cosine"),
         )

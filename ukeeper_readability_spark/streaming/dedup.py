@@ -5,9 +5,11 @@ attach per-key payload or eviction policy, and batch `exact_duplicates`
 (pipeline/dedup.py) needs the whole corpus. This operator is the
 `applyInPandasWithState` form the brief's streaming section calls for: the
 stream is grouped by the dedup key (e.g. a content hash), each key carries a
-single boolean GroupState, and only the FIRST occurrence — deterministic
-min over (order_cols) within and across micro-batches — is emitted
-downstream. The training-pipeline use: exact-dedup an unbounded document
+single boolean GroupState, and only the FIRST occurrence is emitted
+downstream — the deterministic min over (order_cols) WITHIN a micro-batch;
+ACROSS batches the first-arriving batch wins (a later batch's lower-ordered
+row is suppressed by the existing state — ADVICE r5, pinned by the restart
+test). The training-pipeline use: exact-dedup an unbounded document
 feed before the expensive extraction/minhash stages, emitting each distinct
 payload once.
 

@@ -30,6 +30,7 @@ append mode would hold back every session newer than the watermark delay.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -95,20 +96,32 @@ def run_sessionize_stream_once(
     module docstring for the append+watermark production form)."""
     name = query_name or f"sess_stream_{uuid.uuid4().hex[:8]}"
     schema = spark.read.parquet(events_path).schema
+    staged = None
     if os.path.isfile(events_path):
         # the file stream source requires a DIRECTORY basePath; stage a
-        # single-file table behind a symlink dir
-        d = tempfile.mkdtemp(prefix="ukeeper_stream_")
-        os.symlink(events_path, os.path.join(d, os.path.basename(events_path)))
-        events_path = d
-    stream = spark.readStream.schema(schema).parquet(events_path)
-    q = (
-        sessionize_stream(stream, gap_minutes=gap_minutes)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+        # single-file table behind a symlink dir (removed in the finally —
+        # ADVICE r5: repeated gate runs used to leak one dir per invocation)
+        staged = tempfile.mkdtemp(prefix="ukeeper_stream_")
+        os.symlink(events_path, os.path.join(staged, os.path.basename(events_path)))
+        events_path = staged
+    try:
+        stream = spark.readStream.schema(schema).parquet(events_path)
+        q = (
+            sessionize_stream(stream, gap_minutes=gap_minutes)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # snapshot the memory sink so the temp view can be dropped (ADVICE
+        # r5: one registered sink table per invocation accumulated in
+        # long-lived sessions); localCheckpoint keeps the rows alive after
+        # the view is gone without re-running the stream
+        out = spark.table(name).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
+        return out
+    finally:
+        if staged is not None:
+            shutil.rmtree(staged, ignore_errors=True)
