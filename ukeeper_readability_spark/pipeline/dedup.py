@@ -369,12 +369,6 @@ def dedup_components(
             F.col(key_a).alias("u"), F.col(key_b).alias("v")
         ).localCheckpoint(eager=True)
         sym = p0.union(p0.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        labels = (
-            sym.select(F.col("u").alias("node"))
-            .distinct()
-            .select("node", F.col("node").alias("label"))
-            .localCheckpoint(eager=True)
-        )
         converged = False
         rounds = 0
         # DELTA ITERATION (round 5): labels are monotone non-increasing, so a
@@ -392,9 +386,34 @@ def dedup_components(
         # the first action through the marked RDD persists it). The round-5
         # shape paid two jobs per round: an eager-checkpoint materialization
         # plus a separate limit(1) existence probe.
-        frontier = labels
+        # FUSED ROUND 1 (r06): with identity labels, round 1's message to u
+        # is simply min(N(u)) — one aggregation over the edge list replaces
+        # the old init chain (distinct-nodes checkpoint, then a full
+        # frontier join + groupBy + labels join for the first round). The
+        # node set falls out of the same groupBy (sym is symmetric, so its
+        # u column covers every endpoint). Labels after this block are
+        # bit-identical to the old code's state after round 1.
         round_sec: list = []
-        for _ in range(max_iters):
+        _t0 = time.perf_counter()
+        rounds = 1
+        stepped = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("nb_min"))
+            .select(
+                F.col("u").alias("node"),
+                F.least(F.col("u"), F.col("nb_min")).alias("new_label"),
+                (F.col("nb_min") < F.col("u")).alias("_chg"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        n_changed = stepped.filter("_chg").count()
+        round_sec.append(round(time.perf_counter() - _t0, 3))
+        labels = stepped.select("node", F.col("new_label").alias("label"))
+        frontier = stepped.filter("_chg").select(
+            "node", F.col("new_label").alias("label")
+        )
+        converged = n_changed == 0
+        while not converged and rounds < max_iters:
             rounds += 1
             _t0 = time.perf_counter()
             msgs = (
@@ -427,7 +446,6 @@ def dedup_components(
             )
             if n_changed == 0:
                 converged = True
-                break
         if "round_sec" in stats:
             stats["round_sec"] = round_sec
         stats.update(mode="propagate", rounds=rounds, converged=converged)
