@@ -205,9 +205,10 @@ def ngram_jaccard(
     the candidate-doc prune), and because column pruning specializes each
     occurrence, ReuseExchange cannot dedup them — the physical plan
     replicated the entire upstream LSH candidate pipeline per occurrence
-    (measured: 14 parquet scans / 32 exchanges / 5 posexplodes in the
-    verify plan at 20k docs; 4 scans / 12 exchanges / 0 after — the LSH
-    pipeline now runs exactly once, inside the checkpoint materialization).
+    (measured at 20k docs: the verify plan went from 7 parquet-scan /
+    12 shuffle-Exchange / 5 posexplode nodes to 0 scans / 0 shuffle
+    Exchanges over 3 snapshot scans — the LSH pipeline now runs exactly
+    once, inside the checkpoint materialization).
     The checkpoint is sized by the candidate-pair count — the same bound
     dedup_components already materializes. On a real cluster point
     spark.checkpoint.dir at durable storage and use checkpoint() for fault
